@@ -1,0 +1,66 @@
+"""Benchmark harness (driver contract): run headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query is executed to completion via a count-style action that forces
+full evaluation without collecting payload to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stackai_vector_db_spark.queries import REGISTRY  # noqa: E402
+from stackai_vector_db_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship kNN paths + representative operators per family.
+HEADLINE = [
+    "q_knn_brute_topk",
+    "q_knn_window_rank",
+    "q_embed_knn_e2e",
+    "q_fake_embed",
+    "q_dim_check",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so timings measure query execution.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = REGISTRY.get(name)
+        if qd is None:
+            continue
+        t0 = time.perf_counter()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

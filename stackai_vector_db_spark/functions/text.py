@@ -1,0 +1,122 @@
+"""Text-analysis scalar functions (LLM-training-pipeline extensions).
+
+All are native Spark column expressions (JVM-side, codegen) and each has an
+exact DuckDB-SQL equivalent so the driver's hash oracle can check them.
+These extend the reference's text handling (trim/lower/word-count used by the
+fake embedder, ``app/clients/embedding.py:103-111``) into the operations a
+100 TB training-data pipeline needs: token counting, quality scoring,
+language ID, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish tokenizer regex: letter runs, digit runs, or single non-space symbol.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword sets for the n-gram/lexicon language-ID heuristic.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def char_sum(text: Column | str) -> Column:
+    """Σ codepoint(c) over the string — codepoint-safe (CJK included)."""
+    t = _c(text)
+    return F.aggregate(
+        F.split(t, ""), F.lit(0).cast("long"), lambda acc, ch: acc + F.ascii(ch)
+    )
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count, Python ``str.split()`` semantics (empty → 0)."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_regex(text: Column | str) -> Column:
+    """BPE-ish token count via TOKEN_REGEX."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(t).cast("double")
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    t = F.lower(F.trim(_c(text)))
+    toks = F.split(t, r"\s+")
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    total = token_count_ws(t)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / total.cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic doc-quality score in [0, 1]: rewards mid-length documents
+    and stopword presence, penalizes punctuation density.
+
+    score = 0.4·min(1, words/50) + 0.4·min(1, 10·stopword_ratio)
+          + 0.2·(1 − min(1, 5·punct_ratio))
+    """
+    words = token_count_ws(text).cast("double")
+    swr = stopword_ratio(text)
+    pr = punct_ratio(text)
+    return (
+        0.4 * F.least(F.lit(1.0), words / 50.0)
+        + 0.4 * F.least(F.lit(1.0), 10.0 * swr)
+        + 0.2 * (1.0 - F.least(F.lit(1.0), 5.0 * pr))
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Lexicon language-ID: CJK codepoints ⇒ zh, else argmax stopword hits
+    (deterministic tie-break by language code order en < es < de < fr,
+    default 'en' when all-zero)."""
+    t = F.lower(F.trim(_c(text)))
+    has_cjk = F.size(F.regexp_extract_all(t, F.lit(r"[\x{4e00}-\x{9fff}]"), F.lit(0))) > 0
+    toks = F.split(t, r"\s+")
+
+    def hits(lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
+    h = {lang: hits(lang) for lang in ("en", "es", "de", "fr")}
+    best = F.greatest(*h.values())
+    pick = (
+        F.when(h["en"] == best, "en")
+        .when(h["es"] == best, "es")
+        .when(h["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return F.when(has_cjk, "zh").otherwise(F.when(best == 0, "en").otherwise(pick))
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over codepoints of lower(trim(text)):
+    h = (h·31 + codepoint) mod 1e9+7 — an order-sensitive document
+    fingerprint (unlike char_sum, permutations collide there)."""
+    t = F.lower(F.trim(_c(text)))
+    return F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )

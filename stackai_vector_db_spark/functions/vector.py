@@ -1,0 +1,103 @@
+"""Vector scalar functions as native Spark column expressions.
+
+All distance math runs JVM-side via higher-order functions (whole-stage
+codegen, no Python in the hot path) and accumulates in DOUBLE end-to-end —
+the deterministic-hash-oracle strategy from SURVEY.md §7.3. The reference
+computes in float32 numpy (``app/indexes/base.py:207-221``); we intentionally
+use float64 so Spark and DuckDB oracles agree bit-for-bit after round(·, 6).
+
+Reference parity:
+- euclidean_distance: ``app/indexes/base.py:207-211`` (‖v1−v2‖₂).
+- cosine_distance:    ``app/indexes/base.py:213-221`` — including the
+  zero-norm guard (norms == 0 ⇒ distance 1.0, lines 218-219).
+- fake_embedding:     ``app/clients/embedding.py:95-127`` — the deterministic
+  text→vector formula (char_sum/length/word_count mix) that makes the whole
+  text→embed→kNN pipeline oracle-checkable without a real model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def squared_euclidean(a: Column | str, b: Column | str) -> Column:
+    """Sum of squared element differences, DOUBLE accumulation."""
+    a, b = _c(a), _c(b)
+    pairs = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2)
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    """L2 distance (reference ``base.py:207-211``)."""
+    return F.sqrt(squared_euclidean(a, b))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    pairs = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """1 − cosine similarity, with the reference's zero-norm guard
+    (``base.py:218-219``: zero norm ⇒ max distance 1.0)."""
+    a, b = _c(a), _c(b)
+    dot = _dot(a, b)
+    norms = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    return F.when(norms == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) - dot / norms)
+
+
+def fake_embedding(text: Column | str, dim: int) -> Column:
+    """Deterministic fake embedding (reference ``app/clients/embedding.py:95-127``).
+
+    On ``clean = lower(trim(text))``:
+      char_sum = Σ codepoint(c); L = len(clean); W = word count (ws-split)
+      component_i = ((char_sum·(i+1) + L·(i+7) + W·(i+13)) mod 1000)/1000 − 0.5
+
+    Codepoint-safe: Spark ``ascii()`` returns the full Unicode codepoint of a
+    1-char string (verified vs Python ``ord`` incl. CJK), and ``split(s, '')``
+    splits into codepoints. Integer math stays in LONG until the final exact
+    /1000.0, so Spark and DuckDB agree exactly.
+
+    Performance note: the O(len) char-sum aggregate is bound as a lambda
+    variable via a 1-element ``transform`` so it is evaluated once per ROW,
+    not once per component — inlining it into the component lambda costs
+    dim× (Catalyst's CollapseProject will inline it even through separate
+    projections, measured 5.5× at dim 16).
+    """
+    t = _c(text) if not isinstance(text, str) else F.col(text)
+    clean = F.lower(F.trim(t))
+    cs = F.aggregate(
+        F.split(clean, ""), F.lit(0).cast("long"), lambda acc, ch: acc + F.ascii(ch)
+    )
+    length = F.length(clean).cast("long")
+    words = F.when(F.length(clean) == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(clean, r"\s+")).cast("long")
+    )
+    props = F.array(F.struct(cs.alias("cs"), length.alias("l"), words.alias("w")))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def components(p: Column) -> Column:
+        return F.transform(
+            idx,
+            lambda i: (
+                (
+                    p["cs"] * (i + 1).cast("long")
+                    + p["l"] * (i + 7).cast("long")
+                    + p["w"] * (i + 13).cast("long")
+                )
+                % 1000
+            ).cast("double")
+            / 1000.0
+            - 0.5,
+        )
+
+    return F.element_at(F.transform(props, components), 1)
+
+
+def add_fake_embedding(df, text_col: str = "text", dim: int = 16, out_col: str = "emb"):
+    """DataFrame-level convenience: ``df`` plus a fake-embedding column."""
+    return df.withColumn(out_col, fake_embedding(F.col(text_col), dim))

@@ -1,0 +1,187 @@
+"""IVF (inverted-file) index as a Spark data-layout library.
+
+Reference parity: ``app/indexes/ivf.py`` — k-means clustering (seed 42,
+≤50 iters, tol 1e-6, ``ivf.py:88-130``), vector→nearest-centroid assignment
+(``ivf.py:132-140``), nprobe cluster pruning at query time
+(``ivf.py:142-166``), cluster stats (``ivf.py:226-283``).
+
+Spark-first design (SURVEY.md §4.1): IVF is *layout*, not an algorithm
+running per query. Build = ``pyspark.ml.clustering.KMeans`` fit + a
+cluster-partitioned write (``partitionBy("cluster_id")``); search =
+partition-pruned scan of the nprobe nearest clusters + the brute-force
+top-k of :mod:`knn`. On a cluster the probe filter prunes parquet files
+natively — the reference's inverted lists become directory partitions.
+
+Two centroid sources:
+- ``kmeans_centroids``: MLlib KMeans (k-means‖ init ≠ reference's seeded
+  init, so centroids are approximate parity — never hash-checked,
+  SURVEY.md §7.3).
+- ``label_mean_centroids``: exact per-label mean vectors — deterministic and
+  DuckDB-oracle-able; used by the correctness queries (the fixture's
+  ``label`` column is cluster ground truth, FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from stackai_vector_db_spark.operators.knn import Metric, ROUND, brute_force_topk, distance_col
+
+
+def label_mean_centroids(vectors: DataFrame, label_col: str = "label",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact per-label mean vectors via posexplode + avg — deterministic.
+
+    Returns ``(cluster_id int, centroid array<double>)``. The posexplode →
+    groupBy(label, pos) agg is a single shuffle; array re-assembly sorts by
+    position. Average is rounded to 9 decimals so Spark's and the oracle's
+    sum orders agree.
+    """
+    exploded = vectors.select(
+        F.col(label_col).alias("cluster_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    means = exploded.groupBy("cluster_id", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 9).alias("mean_val")
+    )
+    return (
+        means.groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
+        .select(
+            "cluster_id",
+            F.transform(F.col("pairs"), lambda s: s["mean_val"]).alias("centroid"),
+        )
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_clusters: int,
+    seed: int = 42,
+    max_iter: int = 50,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MLlib KMeans mirroring the reference's parameters (``ivf.py:26``,
+    ``92-93``, ``126``: seed 42, max 50 iterations, tol 1e-6)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    feat = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, tol=tol).fit(feat)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cluster_id int, centroid array<double>")
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    metric: Metric = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (reference ``ivf.py:132-140``):
+    vectors ⨯ broadcast(centroids) → argmin distance.
+
+    Deterministic argmin: rank over (round(dist, 6), cluster_id) — matches
+    numpy argmin's first-wins tie behavior when centroids are ordered by id.
+    Returns ``(vec_id, cluster_id, dist)``.
+    """
+    pairs = vectors.crossJoin(F.broadcast(centroids))
+    dist = F.round(distance_col(metric, F.col("centroid"), F.col(vec_col)), ROUND)
+    scored = pairs.select(
+        F.col(id_col).alias(id_col), F.col("cluster_id"), dist.alias("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def write_ivf_layout(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    metric: Metric = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted-file layout: vectors partitioned by cluster.
+
+    ``partitionBy("cluster_id")`` is the Spark form of the reference's
+    inverted lists (``ivf.py:77-86``): a probe filter on cluster_id prunes
+    whole directories at scan time.
+    """
+    assigned = assign_clusters(vectors, centroids, metric, id_col, vec_col)
+    (
+        vectors.join(assigned.select(id_col, "cluster_id"), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def probe_clusters(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    metric: Metric = "euclidean",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Select the nprobe nearest centroids per query (reference
+    ``ivf.py:147-156``). Centroid set is tiny → broadcast; returns
+    ``(qid, cluster_id)``."""
+    pairs = queries.crossJoin(F.broadcast(centroids))
+    dist = F.round(distance_col(metric, F.col(qvec_col), F.col("centroid")), ROUND)
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col("cluster_id").asc())
+    return (
+        pairs.select(F.col(qid_col).alias("qid"), F.col("cluster_id"), dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cluster_id")
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    assigned_vectors: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    metric: Metric = "euclidean",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN: restrict each query to its probed clusters, then
+    exact top-k within (reference query path ``ivf.py:142-166``).
+
+    ``assigned_vectors`` must carry ``cluster_id`` (from
+    :func:`assign_clusters` or a partitioned read of
+    :func:`write_ivf_layout`'s output — in the latter case the probe join
+    becomes partition pruning).
+    """
+    probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
+    # Per-query candidate set: vectors in probed clusters only.
+    cand = assigned_vectors.join(F.broadcast(probes), "cluster_id").select(
+        "qid", id_col, vec_col
+    )
+    scored = cand.join(F.broadcast(queries), "qid").select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        F.round(distance_col(metric, F.col(qvec_col), F.col(vec_col)), ROUND).alias("dist"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist", "rank")
+    )

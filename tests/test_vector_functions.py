@@ -1,0 +1,73 @@
+"""Tier-2 operator tests mirroring the reference's micro-fixtures
+(FIXTURES.md §reference-derived; reference tests/test_indexes.py,
+tests/test_embedding_client.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from stackai_vector_db_spark.functions.vector import (
+    cosine_distance,
+    euclidean_distance,
+    fake_embedding,
+)
+
+
+def py_fake_embedding(text: str, dim: int) -> list[float]:
+    """Straight transcription of the reference formula
+    (app/clients/embedding.py:95-127) for test parity."""
+    clean = text.strip().lower()
+    cs = sum(ord(c) for c in clean)
+    length = len(clean)
+    words = len(clean.split())
+    return [
+        ((cs * (i + 1) + length * (i + 7) + words * (i + 13)) % 1000) / 1000.0 - 0.5
+        for i in range(dim)
+    ]
+
+
+def test_euclidean_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])], "a array<float>, b array<float>"
+    )
+    got = df.select(euclidean_distance("a", "b").alias("d")).first()["d"]
+    assert abs(got - math.sqrt(2.0)) < 1e-12
+
+
+def test_cosine_orthogonal_and_guard(spark):
+    df = spark.createDataFrame(
+        [
+            ([1.0, 0.0], [0.0, 1.0]),  # orthogonal → 1.0
+            ([1.0, 0.0], [1.0, 0.0]),  # identical → 0.0
+            ([0.0, 0.0], [1.0, 0.0]),  # zero-norm guard (base.py:218-219) → 1.0
+        ],
+        "a array<float>, b array<float>",
+    )
+    got = [r["d"] for r in df.select(cosine_distance("a", "b").alias("d")).collect()]
+    assert abs(got[0] - 1.0) < 1e-12
+    assert abs(got[1]) < 1e-12
+    assert got[2] == 1.0
+
+
+def test_fake_embedding_matches_reference_formula(spark):
+    texts = ["Hello World", "  padded  ", "one", "a b c d e", "中文 mixed ascii"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text", fake_embedding(F.col("text"), 8).alias("emb")
+    ).collect()
+    by_text = {r["text"]: r["emb"] for r in rows}
+    for t in texts:
+        expect = py_fake_embedding(t, 8)
+        got = by_text[t]
+        assert len(got) == 8
+        for g, e in zip(got, expect):
+            assert abs(g - e) < 1e-12, (t, got, expect)
+
+
+def test_fake_embedding_deterministic(spark):
+    df = spark.createDataFrame([("same text",), ("same text",), ("other",)], "text string")
+    rows = df.select(fake_embedding(F.col("text"), 4).alias("e")).collect()
+    assert rows[0]["e"] == rows[1]["e"]
+    assert rows[0]["e"] != rows[2]["e"]
