@@ -279,6 +279,862 @@ def q_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M2 relational core — scans, filters, joins, aggregations, pagination
+# (SURVEY.md §2.1-2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 30
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1: full scan with projection + filter — Catalyst pushes both into
+    the parquet scan (reference iterates dicts, chunk_repository.py:24-28)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "q_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: get_by_id (chunk_repository.py:52-55) — equality filter; the
+    scalar subquery becomes a broadcast of a 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    mk = o.agg(F.min("o_orderkey").alias("__mk"))
+    return (
+        o.join(F.broadcast(mk), o["o_orderkey"] == mk["__mk"])
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q_filter_fk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem WHERE l_suppkey = 3
+    """,
+)
+def q_filter_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+P2: secondary-index scan list_by_library → FK equality filter
+    (chunk_repository.py:20-40); at scale this is partition pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_suppkey") == 3).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+
+@register(
+    "q_filter_ci_name",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE lower(n_name) = lower('Nation_7')
+    """,
+)
+def q_filter_ci_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: case-insensitive unique-name lookup
+    (library_repository.py:18-19, 36-39)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.filter(F.lower(F.col("n_name")) == F.lower(F.lit("Nation_7"))).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@register(
+    "q_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J5: existence guard (chunk_service.py:44-45) as a left-semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_filter_missing_emb",
+    oracle="""
+    SELECT label,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN len(embedding) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_with_emb
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_filter_missing_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: has_embedding split (entities.py:296-299, index_service.py:439-446)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.size("embedding") > 0, 1).otherwise(0)).alias("n_with_emb"),
+    )
+
+
+@register(
+    "q_threshold_filter",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             {_dk_euclid('e.embedding', 'q.qvec')} AS dist,
+             CASE WHEN e.vec_id % 10 < 3 THEN NULL ELSE 0.9 END AS thr
+      FROM embeddings e, q)
+    SELECT vec_id, dist, thr FROM scored WHERE thr IS NULL OR dist <= thr
+    """,
+)
+def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: per-row similarity_threshold post-filter with NULL-keeps-row
+    semantics (search_service.py:187-191) — the three-valued-logic trap is
+    encoded explicitly as isNull() | (dist <= thr)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    thr = F.when(F.col("vec_id") % 10 < 3, F.lit(None).cast("double")).otherwise(0.9)
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(euclidean_distance("embedding", "qvec"), 6).alias("dist"),
+        thr.alias("thr"),
+    )
+    return scored.filter(F.col("thr").isNull() | (F.col("dist") <= F.col("thr")))
+
+
+@register(
+    "q_anti_tombstone",
+    oracle="""
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings t WHERE t.vec_id % 7 = 0 AND t.vec_id = e.vec_id)
+    """,
+)
+def q_anti_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: tombstone skip (linear.py:53-54) as a left-anti join against a
+    deletes table (here derived: vec_id % 7 = 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tombs = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    return emb.join(tombs, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@register(
+    "q_cascade_anti",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey % 10 = 0 AND o.o_orderkey = l.l_orderkey)
+    """,
+)
+def q_cascade_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: cascade delete (library_service.py:67-77) in keep-side
+    formulation — children whose parent is NOT deleted survive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    deleted = o.filter(F.col("o_custkey") % 10 == 0).select("o_orderkey")
+    return li.join(deleted, li["l_orderkey"] == deleted["o_orderkey"], "left_anti").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "q_count_by_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: counts by key (chunk_repository.py:42-50) — partial+final hash
+    aggregation for free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_pagination",
+    oracle="""
+    WITH ordered AS (
+      SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY lower(c_name), c_custkey) AS rn
+      FROM customer)
+    SELECT rn::INTEGER AS rn, c_custkey, c_name FROM ordered
+    WHERE rn BETWEEN 21 AND 30
+    """,
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O3/O4: sorted entity list + offset/limit pagination
+    (library_repository.py:23-26, chunk_repository.py:25-29)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.lower(F.col("c_name")), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(21, 30))
+        .select("rn", "c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_ingest_validate",
+    oracle="""
+    SELECT doc_id,
+           (length(trim(text)) > 0 AND length(text) <= 10000
+            AND n_chars = length(text)) AS is_valid,
+           length(trim(text))::BIGINT AS end_idx
+    FROM documents
+    """,
+)
+def q_ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P7/F6: ingest-time validation predicates (utils/validation.py:6-51)
+    + end_index default 0 + len(trim(text)) (chunk_service.py:107-111)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_valid = (
+        (F.length(F.trim(F.col("text"))) > 0)
+        & (F.length("text") <= 10000)
+        & (F.col("n_chars") == F.length("text"))
+    )
+    return d.select(
+        "doc_id",
+        is_valid.alias("is_valid"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("end_idx"),
+    )
+
+
+@register(
+    "q_union_libraries",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE source = 'src0'
+    UNION ALL
+    SELECT doc_id, source FROM documents WHERE source = 'src1'
+    """,
+)
+def q_union_libraries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: unionByName of two libraries' contents (index_service.py:496)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src0").select("doc_id", "source")
+    b = d.filter(F.col("source") == "src1").select("doc_id", "source")
+    return a.unionByName(b)
+
+
+@register(
+    "q_except_deleted",
+    oracle="""
+    SELECT vec_id FROM embeddings
+    EXCEPT
+    SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0
+    """,
+)
+def q_except_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: EXCEPT vs the tombstone set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id").exceptAll(
+        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+
+
+@register(
+    "q_dirty_ratio",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_total,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_dirty,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dirty_ratio,
+           (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) >= 0.1) AS needs_rebuild
+    FROM events
+    """,
+)
+def q_dirty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: dirty-ratio rebuild decision (index_service.py:88-97, threshold
+    0.1 from config.py:58) — scalar aggregate compare over a control table."""
+    e = load_table(spark, sf_dir, "events")
+    dirty = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return e.agg(
+        total.alias("n_total"),
+        dirty.alias("n_dirty"),
+        F.round(dirty.cast("double") / total, 6).alias("dirty_ratio"),
+        (dirty.cast("double") / total >= 0.1).alias("needs_rebuild"),
+    )
+
+
+@register(
+    "q_index_stats",
+    oracle=f"""
+    SELECT count(*)::BIGINT AS n_vectors,
+           max(len(embedding))::BIGINT AS dim,
+           (count(*) * max(len(embedding)) * 4)::BIGINT AS est_bytes,
+           round(avg(sqrt({_dk_dot('embedding', 'embedding')})), 6) AS avg_norm
+    FROM embeddings
+    """,
+)
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: index memory/stat report (linear.py:76-109): vector count, dim,
+    float32 byte estimate, mean L2 norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot_col("embedding"))
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max(F.size("embedding")).cast("long").alias("dim"),
+        (F.count(F.lit(1)) * F.max(F.size("embedding")).cast("long") * 4).alias("est_bytes"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+    )
+
+
+def _dot_col(c: str):
+    col = F.col(c)
+    pairs = F.zip_with(col, col, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------------------------------
+# M3 IVF — centroids, assignment, probe search (app/indexes/ivf.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic, oracle-able centroids: per-label mean vectors (the fixture's
+# label column is cluster ground truth). DuckDB form: lateral range-join over
+# vector positions, avg per (label, pos), round 9 (matches label_mean_centroids).
+_DK_CENTROIDS = """
+    cvals AS (
+      SELECT cluster_id, pos, round(avg(val), 9) AS mean_val FROM (
+        SELECT label AS cluster_id,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS val
+        FROM embeddings)
+      GROUP BY cluster_id, pos)
+"""
+
+
+@register(
+    "q_assign_centroid",
+    oracle=f"""
+    WITH {_DK_CENTROIDS},
+    dists AS (
+      SELECT e.vec_id, c.cluster_id,
+             round(sqrt(sum(power(e.embedding[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM embeddings e, cvals c
+      GROUP BY e.vec_id, c.cluster_id),
+    ranked AS (
+      SELECT vec_id, cluster_id, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+      FROM dists)
+    SELECT vec_id, cluster_id, dist FROM ranked WHERE rn = 1
+    """,
+)
+def q_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A5: vector→nearest-centroid argmin join (ivf.py:132-140) —
+    crossJoin(broadcast(centroids)) + rank-1 window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_ops.label_mean_centroids(emb)
+    return ivf_ops.assign_clusters(emb, cents)
+
+
+@register(
+    "q_cluster_stats",
+    oracle=f"""
+    SELECT label,
+           count(*)::BIGINT AS n,
+           round(min(sqrt({_dk_dot('embedding', 'embedding')})), 6) AS min_norm,
+           round(max(sqrt({_dk_dot('embedding', 'embedding')})), 6) AS max_norm,
+           round(avg(sqrt({_dk_dot('embedding', 'embedding')})), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-cluster size + stats (ivf.py:81-86, 250-259)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot_col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+    )
+
+
+IVF_NPROBE = 2
+
+
+@register(
+    "q_ivf_probe_topk",
+    oracle=f"""
+    WITH {_DK_CENTROIDS},
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+    probe_d AS (
+      SELECT q.qid, c.cluster_id,
+             round(sqrt(sum(power(q.qvec[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM q, cvals c GROUP BY q.qid, c.cluster_id),
+    probes AS (
+      SELECT qid, cluster_id FROM (
+        SELECT qid, cluster_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, cluster_id) AS rn
+        FROM probe_d) WHERE rn <= {IVF_NPROBE}),
+    scored AS (
+      SELECT p.qid, e.vec_id,
+             {_dk_euclid('q.qvec', 'e.embedding')} AS dist
+      FROM probes p
+      JOIN embeddings e ON e.label = p.cluster_id
+      JOIN q ON q.qid = p.qid),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= {KNN_K}
+    """,
+)
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 + J3 + A1: the full IVF query path (ivf.py:142-166) — probe the
+    nprobe nearest clusters per query, exact top-k within the probed subset.
+    Cluster membership here is the fixture's ground-truth label (the
+    partition layout write_ivf_layout would produce)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_ops.label_mean_centroids(emb)
+    assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
+    out = ivf_ops.ivf_search(
+        _knn_queries(emb), assigned, cents, k=KNN_K, nprobe=IVF_NPROBE
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@register("q_kmeans_build", oracle=None)  # ⚠ rows-only: k-means‖ init ≠ reference seed
+def q_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: IVF build via MLlib KMeans(seed=42, maxIter=50, tol=1e-6)
+    mirroring ivf.py:88-130; output = cluster sizes (never hash centroid
+    values — SURVEY.md §7.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_ops.kmeans_centroids(emb, n_clusters=10)
+    assigned = ivf_ops.assign_clusters(emb, cents)
+    return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# M5 extensions — relational (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)::BIGINT AS n,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 0) AS sum_price
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (returnflag, linestatus). Large sums are
+    rounded to whole units — double addition order differs between engines
+    and ~1e8-magnitude sums carry ~1e-6 absolute noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q_join_smj",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large equi-join lineitem⋈orders (sort-merge / shuffled-hash under
+    AQE) + aggregation — the canonical fact⋈fact shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact table joined to progressively smaller dims —
+    customer and nation are explicitly broadcast (dim side ≪ fact side,
+    no shuffle of lineitem for those joins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-aggregation baseline for q_approx_distinct."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register("q_approx_distinct", oracle=None)  # ⚠ sketch — rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type — the 100 TB form of
+    q_count_distinct (no exact-distinct shuffle explosion)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 extensions — LLM-pipeline: dedup + text analysis (north star)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: hash-groupBy on content, keep min id per group
+    (the groupBy shuffles only (hash(text), id) after Catalyst prunes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keeper", "n_copies")
+
+
+NEAR_DUP_TAU = 1.2
+
+
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dk_euclid('a.embedding', 'b.embedding')} AS dist
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dk_euclid('a.embedding', 'b.embedding')} < {NEAR_DUP_TAU}
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection via embedding-distance self-join, blocked
+    by cluster label so the candidate set is N²/C instead of N² — the
+    blocked similarity self-join that underpins LSH-style dedup at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(euclidean_distance("va", "vb"), 6).alias("dist"),
+        )
+        .filter(F.col("dist") < NEAR_DUP_TAU)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 4) AS avg_words
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (token/char analysis)."""
+    from stackai_vector_db_spark.functions.text import token_count_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count_ws(F.col("text"))), 4).alias("avg_words"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::INTEGER AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER AS re_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace semantics + a BPE-ish regex tokenizer."""
+    from stackai_vector_db_spark.functions.text import token_count_regex, token_count_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("ws_tokens"),
+        token_count_regex(F.col("text")).alias("re_tokens"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / nullif(length(text), 0) AS praw,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> list_contains(['the','and','of','to','in'], x)))::DOUBLE AS sw_hits
+      FROM documents)
+    SELECT doc_id,
+           round(0.4 * least(1.0, words / 50.0)
+               + 0.4 * least(1.0, 10.0 * (CASE WHEN words = 0 THEN 0.0 ELSE sw_hits / words END))
+               + 0.2 * (1.0 - least(1.0, 5.0 * coalesce(praw, 0.0))), 6) AS score
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (length/stopword/punctuation)."""
+    from stackai_vector_db_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("score"))
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             len(regexp_extract_all(lower(trim(text)), '[\\x{4e00}-\\x{9fff}]')) > 0 AS has_cjk
+      FROM documents),
+    h AS (
+      SELECT doc_id, has_cjk,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) AS h_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['le','la','les','des','est'], x))) AS h_fr
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'en'
+                WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon/codepoint language ID (deterministic heuristic)."""
+    from stackai_vector_db_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(range(1, length(lower(trim(text)))+1),
+                 i -> ord(substr(lower(trim(text)), i, 1))::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (h·31+cp mod 1e9+7)."""
+    from stackai_vector_db_spark.functions.text import rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# M5 extensions — events: JSON, window frames, time windows (§2.9 batch forms)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(avg(CAST(props->>'k' AS DOUBLE)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from events.props + aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg(k), 4).alias("avg_k")
+    )
+
+
+@register(
+    "q_window_frame",
+    oracle="""
+    SELECT user_id, event_id, epoch_ms(ts)::BIGINT AS ts_ms,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running
+    FROM events
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame window: per-user running sum ordered by event time."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.sum("value").over(w), 6).alias("running"),
+    )
+
+
+@register(
+    "q_events_tumbling",
+    oracle="""
+    SELECT (epoch_ms(ts) // 600000) * 600000 AS win_start_ms,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregation via Spark's window() — the
+    batch twin of the Structured Streaming query (same plan runs on
+    readStream; see streaming module)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_events_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flags AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flags)
+    SELECT user_id,
+           epoch_ms(min(ts))::BIGINT AS sess_start_ms,
+           count(*)::BIGINT AS n,
+           round(sum(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via Spark's session_window —
+    events merge while the inter-event gap is < 30 min; the oracle is the
+    equivalent gaps-and-islands SQL (lag → new-session flag → cumsum id)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("sess_start_ms"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship end-to-end: text → fake-embed → kNN → hydrate join
 # (reference trace SURVEY.md §3.1 steps 3-8: search_service.py:67-224)
 # ---------------------------------------------------------------------------
