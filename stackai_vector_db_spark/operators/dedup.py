@@ -1,0 +1,209 @@
+"""Deduplication operators for the LLM-training-data pipeline.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all built from pure
+integer arithmetic (rolling polynomial hashes mod 1e9+7) so every stage is
+reproducible in ANSI SQL for the DuckDB oracle. No engine-specific hash
+functions (xxhash64 etc. would diverge between engines).
+
+Scale design: MinHash-LSH is the N→candidate-pairs reduction — the full
+pipeline shuffles only (band_idx, band_hash, doc_id) tuples (n_bands rows
+per doc), then verifies the tiny candidate set with exact Jaccard. The
+blocked n-gram Jaccard and label-blocked embedding join are the quadratic
+fallbacks restricted to within-block pairs.
+
+All expressions are native higher-order functions — JVM-side, no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+P = 1_000_000_007
+TOKEN_BASE = 31
+COMBINE_BASE = 131
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lower(trim(text))."""
+    clean = F.lower(F.trim(text))
+    return F.split(clean, r"\s+")
+
+
+def token_hashes(toks: Column) -> Column:
+    """Per-token rolling hash: fold (h·31 + codepoint) mod P over chars."""
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * TOKEN_BASE + F.ascii(ch)) % P,
+        ),
+    )
+
+
+def shingle_hashes(th: Column, k: int) -> Column:
+    """Hashes of word k-shingles: fold consecutive k token hashes with base
+    131 mod P. Requires size(th) >= k (guard at call site)."""
+    n = F.size(th)
+
+    def one(i: Column) -> Column:
+        h = F.element_at(th, i)
+        for j in range(1, k):
+            h = (h * COMBINE_BASE + F.element_at(th, i + j)) % P
+        return h
+
+    return F.transform(F.sequence(F.lit(1), n - (k - 1)), one)
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> Column:
+    """MinHash signature: sig_j = min over shingles of (s·(2j+1) + 7919j+1) mod P.
+
+    The (a_j, b_j) family is fixed odd-multiplier arithmetic — deterministic
+    and SQL-reproducible (vs. seeded random families)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: (s * (j * 2 + 1).cast("long") + (j * 7919 + 1).cast("long")) % P,
+            )
+        ),
+    )
+
+
+def band_hashes(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Fold each band of the signature into one hash → array of n_bands
+    structs (band, bh)."""
+
+    def one(b: Column) -> Column:
+        start = b * rows_per_band
+        h = F.element_at(sig, start + 1)
+        for j in range(1, rows_per_band):
+            h = (h * COMBINE_BASE + F.element_at(sig, start + 1 + j)) % P
+        return F.struct(b.alias("band"), h.alias("bh"))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), one)
+
+
+def simhash32(th: Column) -> Column:
+    """32-bit SimHash over token hashes: bit i set iff Σ_tokens ±1 votes
+    (per bit i of each token hash) is positive."""
+    def bit_term(i: Column) -> Column:
+        vote = F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.pow(F.lit(2.0), i).cast("long")) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(31)), bit_term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_shingle_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle_set) for docs with ≥ k tokens; shingle_set is the
+    distinct, sorted shingle-hash array (sorted so set ops are canonical)."""
+    toks = tokens_col(F.col(text_col))
+    th = token_hashes(toks)
+    return (
+        docs.select(F.col(id_col), th.alias("__th"))
+        .filter(F.size("__th") >= k)
+        .select(
+            id_col,
+            F.array_sort(F.array_distinct(shingle_hashes(F.col("__th"), k))).alias(
+                "shingle_set"
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline:
+    shingle → signature → band buckets → candidate pairs (band join) →
+    exact-Jaccard verification. Returns (id_a, id_b, jaccard) with
+    jaccard rounded to 6 and ≥ threshold.
+    """
+    r = n_hashes // n_bands
+    base = with_shingle_sets(docs, text_col, id_col, k)
+    sig = base.select(
+        id_col,
+        "shingle_set",
+        minhash_signature(F.col("shingle_set"), n_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(band_hashes(F.col("sig"), n_bands, r)).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    left = banded.select(
+        F.col("band"), F.col("bh"), F.col(id_col).alias("id_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bh"), F.col(id_col).alias("id_b")
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sa"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: all within-block pairs (quadratic in
+    block size only) with jaccard ≥ threshold."""
+    toks = tokens_col(F.col(text_col))
+    th = token_hashes(toks)
+    base = (
+        docs.select(F.col(block_col).alias("__blk"), F.col(id_col), th.alias("__th"))
+        .filter(F.size("__th") >= k)
+        .select(
+            "__blk",
+            id_col,
+            F.array_sort(F.array_distinct(shingle_hashes(F.col("__th"), k))).alias("ss"),
+        )
+    )
+    a = base.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("ss").alias("sa"))
+    b = base.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("ss").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

@@ -1135,6 +1135,150 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M5 extensions — MinHash-LSH / SimHash / n-gram Jaccard dedup
+# (north-star LLM-pipeline operators; pure-arithmetic hashing → SQL oracles)
+# ---------------------------------------------------------------------------
+
+# The fixture corpus has no real near-dups, so dedup queries run over an
+# augmented corpus: every 50th doc gets a perturbed copy (id+1000000,
+# text + ' extra') — deterministic and identical in both engines.
+_DK_AUG_DOCS = """
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra' FROM documents WHERE doc_id % 50 = 0)
+"""
+
+# token hashes → distinct sorted 3-shingle hash set (mirrors operators.dedup)
+_DK_SHINGLES = """
+    base AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(range(1, len(th)-1),
+               i -> (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007))) AS ss
+      FROM (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> list_reduce(
+                        list_prepend(0::BIGINT,
+                          list_transform(range(1, length(t)+1),
+                            c -> ord(substr(t, c, 1))::BIGINT)),
+                        (a, x) -> (a*31 + x) % 1000000007)) AS th
+        FROM aug)
+      WHERE len(th) >= 3)
+"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DK_AUG_DOCS}, {_DK_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               j -> list_min(list_transform(ss,
+                      s -> (s*(2*j+1) + (7919*j+1)) % 1000000007))) AS sig
+      FROM base),
+    banded AS (
+      SELECT doc_id, b AS band,
+             (((((sig[b*4+1]*131 + sig[b*4+2]) % 1000000007) * 131
+                + sig[b*4+3]) % 1000000007) * 131 + sig[b*4+4]) % 1000000007 AS bh
+      FROM sigs, unnest([0, 1, 2, 3]) t(b)),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+    FROM cand c JOIN base a ON a.doc_id = c.id_a JOIN base b ON b.doc_id = c.id_b
+    WHERE round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle→signature→band-bucket join→exact-Jaccard
+    verify. Only (band, hash, id) tuples shuffle — the N² pair space is never
+    materialized (the LSH scale path for 100 TB dedup)."""
+    from stackai_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _aug_docs(spark, sf_dir), k=3, n_hashes=16, n_bands=4, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH {_DK_AUG_DOCS}, {_DK_SHINGLES},
+    blocked AS (
+      SELECT b.doc_id, b.ss, d.source FROM base b
+      JOIN (SELECT doc_id % 1000000 AS orig_id, doc_id FROM aug) m ON m.doc_id = b.doc_id
+      JOIN documents d ON d.doc_id = m.orig_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+    FROM blocked a JOIN blocked b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: quadratic only within a source block
+    (the verification-side primitive of near-dup dedup)."""
+    from stackai_vector_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _aug_docs(spark, sf_dir)
+    with_src = aug.join(
+        docs.select(F.col("doc_id").alias("orig_id"), "source"),
+        (F.col("doc_id") % 1000000) == F.col("orig_id"),
+    ).select("doc_id", "text", "source")
+    return ngram_jaccard_pairs(
+        with_src, block_col="source", k=3, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "q_simhash",
+    oracle="""
+    WITH th_t AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_reduce(
+                      list_prepend(0::BIGINT,
+                        list_transform(range(1, length(t)+1),
+                          c -> ord(substr(t, c, 1))::BIGINT)),
+                      (a, x) -> (a*31 + x) % 1000000007)) AS th
+      FROM documents)
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32),
+             i -> CASE WHEN list_sum(list_transform(th,
+                    h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (2**i)::BIGINT ELSE 0 END))::BIGINT AS simhash
+    FROM th_t
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bit-vote over token hashes) — the
+    constant-size fingerprint for hamming-distance near-dup."""
+    from stackai_vector_db_spark.operators.dedup import simhash32, token_hashes, tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    th = token_hashes(tokens_col(F.col("text")))
+    return d.select("doc_id", simhash32(th).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship end-to-end: text → fake-embed → kNN → hydrate join
 # (reference trace SURVEY.md §3.1 steps 3-8: search_service.py:67-224)
 # ---------------------------------------------------------------------------

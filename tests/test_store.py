@@ -1,0 +1,108 @@
+"""Lifecycle tests for the versioned VectorStore — mirrors the reference's
+service/concurrency tiers (SURVEY.md §5.1 tiers 3-5): build/search round
+trip, dirty lifecycle, cascade delete, snapshot stability during rebuild."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stackai_vector_db_spark.plans.store import VectorStore
+
+
+@pytest.fixture()
+def store(spark):
+    root = tempfile.mkdtemp(prefix="vstore_")
+    yield VectorStore(spark, root, dim=16)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _chunk_rows(spark, n=60, library_id=1, start_doc=0):
+    rows = [
+        (
+            library_id * 100000 + start_doc * 100 + i,
+            start_doc + (i % 5),
+            library_id,
+            f"chunk text number {i} for library {library_id} with words",
+            None,
+            0,
+            None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "chunk_id long, document_id long, library_id long, text string, "
+        "embedding array<float>, start_index int, end_index int",
+    )
+
+
+def test_ingest_build_search_roundtrip(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 60))
+    assert store.versions()["chunks"] == 1
+    store.build_index(1, n_clusters=4)
+
+    # searching for an existing chunk's text must return it at rank 1, dist 0
+    hits = store.search_text(1, "chunk text number 7 for library 1 with words", k=3)
+    top = sorted(hits.collect(), key=lambda r: r["rank"])[0]
+    assert top["dist"] == 0.0
+    assert "number 7" in top["text"]
+
+
+def test_end_index_default_and_validation(spark, store):
+    df = spark.createDataFrame(
+        [
+            (1, 0, 1, "  hello world  ", None, 0, None),
+            (2, 0, 1, "   ", None, 0, None),  # blank text → rejected
+        ],
+        "chunk_id long, document_id long, library_id long, text string, "
+        "embedding array<float>, start_index int, end_index int",
+    )
+    store.ingest_chunks(df)
+    rows = store.read_chunks().collect()
+    assert len(rows) == 1  # invalid row dropped
+    assert rows[0]["end_index"] == len("hello world")  # F6 default
+    assert len(rows[0]["embedding"]) == 16  # eager embed
+
+
+def test_dirty_lifecycle(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 50))
+    assert store.needs_rebuild(1)  # everything is new
+    store.build_index(1, n_clusters=4)
+    assert not store.needs_rebuild(1)  # reset on build
+    store.ingest_chunks(_chunk_rows(spark, 3, start_doc=50))
+    assert not store.needs_rebuild(1)  # 3/53 < 0.1
+    store.ingest_chunks(_chunk_rows(spark, 10, start_doc=60))
+    assert store.needs_rebuild(1)  # 13/63 >= 0.1
+
+
+def test_cascade_delete(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 50))
+    before = store.read_chunks().count()
+    doomed = spark.createDataFrame([(0,), (1,)], "document_id long")
+    store.delete_documents(doomed)
+    after = store.read_chunks()
+    assert after.count() < before
+    assert after.filter(F.col("document_id").isin(0, 1)).count() == 0
+
+
+def test_snapshot_stable_during_rebuild(spark, store):
+    """Reader pinned to index v1 sees identical results after v2 is built
+    from different data — the RWLock/snapshot guarantee via immutability."""
+    store.ingest_chunks(_chunk_rows(spark, 40))
+    store.build_index(1, n_clusters=4)
+    q = "chunk text number 3 for library 1 with words"
+    before = sorted(map(tuple, store.search_text(1, q, k=5, version=1).collect()))
+
+    store.ingest_chunks(_chunk_rows(spark, 40, start_doc=90))
+    store.build_index(1, n_clusters=4)
+    assert store.versions()["index"] == 2
+
+    pinned = sorted(map(tuple, store.search_text(1, q, k=5, version=1).collect()))
+    assert pinned == before
+    fresh = store.search_text(1, q, k=5)  # new snapshot sees more data
+    assert fresh.count() == 5
