@@ -18,13 +18,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from stackai_vector_db_spark.queries import REGISTRY  # noqa: E402
 from stackai_vector_db_spark.session import get_spark  # noqa: E402
 
-# Headline set: the flagship kNN paths + representative operators per family.
+# Headline set: the flagship kNN paths + representative operators per family
+# (vector search, embed, relational joins/aggs, dedup, event windows).
 HEADLINE = [
     "q_knn_brute_topk",
     "q_knn_window_rank",
     "q_embed_knn_e2e",
     "q_fake_embed",
     "q_dim_check",
+    "q_ivf_probe_topk",
+    "q_join_smj",
+    "q_agg_rollup",
+    "q_dedup_minhash_lsh",
+    "q_events_session",
+    "q_window_frame",
 ]
 
 

@@ -113,8 +113,14 @@ def with_shingle_sets(
     distinct, sorted shingle-hash array (sorted so set ops are canonical)."""
     toks = tokens_col(F.col(text_col))
     th = token_hashes(toks)
+    # The per-char rolling hash is the expensive stage; a single-file parquet
+    # source arrives as ONE input partition, so spread rows across cores
+    # first. At 100 TB the source is already thousands of splits and this
+    # repartition is a cheap no-op by comparison.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select(F.col(id_col), th.alias("__th"))
+        docs.repartition(par)
+        .select(F.col(id_col), th.alias("__th"))
         .filter(F.size("__th") >= k)
         .select(
             id_col,
@@ -140,7 +146,9 @@ def minhash_lsh_pairs(
     jaccard rounded to 6 and ≥ threshold.
     """
     r = n_hashes // n_bands
-    base = with_shingle_sets(docs, text_col, id_col, k)
+    # base feeds three plan branches (signature, verify-left, verify-right);
+    # persist so the shingle computation runs once, not per branch.
+    base = with_shingle_sets(docs, text_col, id_col, k).persist()
     sig = base.select(
         id_col,
         "shingle_set",
@@ -188,14 +196,17 @@ def ngram_jaccard_pairs(
     block size only) with jaccard ≥ threshold."""
     toks = tokens_col(F.col(text_col))
     th = token_hashes(toks)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     base = (
-        docs.select(F.col(block_col).alias("__blk"), F.col(id_col), th.alias("__th"))
+        docs.repartition(par)
+        .select(F.col(block_col).alias("__blk"), F.col(id_col), th.alias("__th"))
         .filter(F.size("__th") >= k)
         .select(
             "__blk",
             id_col,
             F.array_sort(F.array_distinct(shingle_hashes(F.col("__th"), k))).alias("ss"),
         )
+        .persist()
     )
     a = base.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("ss").alias("sa"))
     b = base.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("ss").alias("sb"))

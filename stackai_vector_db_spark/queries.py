@@ -30,6 +30,7 @@ from stackai_vector_db_spark.functions.vector import (
 )
 from stackai_vector_db_spark.operators import knn as knn_ops
 from stackai_vector_db_spark.operators import ivf as ivf_ops
+from stackai_vector_db_spark.operators import multimodal as mm_ops
 
 
 @dataclass(frozen=True)
@@ -194,6 +195,42 @@ def q_knn_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _knn_queries(emb), emb, 5, metric="cosine", strategy="window"
     )
     return out.withColumnRenamed("rank", "rnk")
+
+
+@register(
+    "q_join_hits_chunks",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+    scored AS (
+      SELECT q.qid, v.vec_id,
+             {_dk_euclid('q.qvec', 'v.embedding')} AS dist
+      FROM q, embeddings v),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM scored)
+    SELECT r.qid, r.vec_id, r.dist, d.lang, d.source
+    FROM ranked r JOIN documents d ON r.vec_id = d.doc_id
+    WHERE r.rnk <= {KNN_K}
+    """,
+)
+def q_join_hits_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — hydrate each (chunk_id, distance) hit back to its entity row
+    (reference search_service.py:156-177; position→id translation
+    index_service.py:352-357). Inner join drops orphaned hits exactly as the
+    reference logs-and-skips missing chunks. The hit set is ≤ Q·k rows →
+    broadcast side; the entity table is the 100 TB side that stays
+    distributed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    hits = knn_ops.brute_force_topk(
+        _knn_queries(emb), emb, KNN_K, metric="euclidean", strategy="prereduce"
+    )
+    return (
+        F.broadcast(hits)
+        .join(docs, hits["vec_id"] == docs["doc_id"], "inner")
+        .select("qid", "vec_id", "dist", "lang", "source")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1016,7 +1053,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stackai_vector_db_spark.functions.text import rolling_fingerprint
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+    par = spark.sparkContext.defaultParallelism
+    return d.repartition(par).select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1130,6 +1170,39 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.col("w.start")).alias("sess_start_ms"),
             "n",
             "sum_value",
+        )
+    )
+
+
+@register(
+    "q_events_dedup",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, ts, user_id, event_type,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY ts, user_id, event_type, value) AS rn
+      FROM events)
+    SELECT event_id, epoch_ms(ts)::BIGINT AS ts_ms, user_id, event_type
+    FROM r WHERE rn = 1
+    """,
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ``dropDuplicatesWithinWatermark``
+    (streaming/events.py:dedup_within_watermark): keep one row per
+    event_id. Deterministic 'first' = row_number over (ts, user_id,
+    event_type, value); every output column is part of the sort key, so
+    exact-duplicate rows hash identically either way. Streaming-vs-batch
+    parity is asserted in tests/test_streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type", "value")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
         )
     )
 
@@ -1275,7 +1348,34 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     th = token_hashes(tokens_col(F.col("text")))
-    return d.select("doc_id", simhash32(th).alias("simhash"))
+    # 32 bit-votes × per-char token hashing is the most expression-heavy
+    # scalar query; spread the single-file source across cores first.
+    par = spark.sparkContext.defaultParallelism
+    return d.repartition(par).select("doc_id", simhash32(th).alias("simhash"))
+
+
+@register("q_multimodal_features", oracle=None)  # ⚠ binary mapInPandas plumbing — rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pipeline over the documents table: utf-8 payload
+    bytes as the opaque BINARY column + typed metadata struct, then
+    Arrow-batched ``mapInPandas`` feature extraction
+    (operators/multimodal.py). The decode kernel is a deterministic stub
+    (no codec libs in this environment); the Spark-side plumbing — schema,
+    batch iteration, kind-filter pushed before the Python stage — is real."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = docs.repartition(par).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit("txt").alias("format"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return mm_ops.extract_image_features(media, feature_dim=8)
 
 
 # ---------------------------------------------------------------------------
