@@ -1,0 +1,67 @@
+"""Dedup operator tests: planted near-duplicates must surface, unrelated
+docs must not, and fingerprints must be deterministic. (LLM-pipeline
+north-star operators; oracle parity is covered by tools/check_oracle.py —
+these are the semantic unit tests.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stackai_vector_db_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+    token_hashes,
+    tokens_col,
+    with_shingle_sets,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + " tail"),                      # near-dup of 0
+        (2, "completely different words about spark dataframes and parquet"),
+        (3, "another unrelated sentence mentioning lsh banding strategies"),
+        (4, base),                                # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    }
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+    assert all({a, b} <= {0, 1, 4} for a, b in pairs)
+
+
+def test_ngram_jaccard_blocked(spark):
+    docs = _docs(spark).withColumn("blk", F.lit("b0"))
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, block_col="blk", jaccard_threshold=0.9).collect()
+    }
+    assert pairs.get((0, 4)) == 1.0
+    assert (0, 2) not in pairs
+
+
+def test_simhash_identity_and_locality(spark):
+    docs = _docs(spark)
+    th = token_hashes(tokens_col(F.col("text")))
+    rows = {r.doc_id: r.sh for r in docs.select("doc_id", simhash32(th).alias("sh")).collect()}
+    assert rows[0] == rows[4]  # identical text -> identical fingerprint
+    ham_near = bin(rows[0] ^ rows[1]).count("1")
+    ham_far = bin(rows[0] ^ rows[2]).count("1")
+    assert ham_near < ham_far  # near-dup is closer in hamming space
+
+
+def test_shingle_sets_filter_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, "one two three four")], "doc_id long, text string"
+    )
+    out = with_shingle_sets(docs, k=3)
+    assert [r.doc_id for r in out.collect()] == [1]

@@ -1,0 +1,113 @@
+"""IVF layout tests — mirrors the reference's approximation contract
+(`app/indexes/ivf.py`, README.md:322-330: IVF trades exactness for speed;
+recall tested against the linear baseline, exact when every cluster is
+probed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from stackai_vector_db_spark.catalog import load_table
+from stackai_vector_db_spark.operators.ivf import (
+    assign_clusters,
+    ivf_search,
+    kmeans_centroids,
+    label_mean_centroids,
+    write_ivf_layout,
+)
+from stackai_vector_db_spark.operators.knn import brute_force_topk
+
+K = 10
+NQ = 5
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").persist()
+    cents = label_mean_centroids(emb).persist()
+    assigned = emb.join(
+        assign_clusters(emb, cents).select("vec_id", "cluster_id"), "vec_id"
+    ).persist()
+    exact = {
+        (r.qid, r.vec_id)
+        for r in brute_force_topk(_queries(emb), emb, K).collect()
+    }
+    return emb, cents, assigned, exact
+
+
+def test_full_probe_is_exact(spark, fixtures):
+    """nprobe == n_clusters ⇒ identical to the linear baseline
+    (reference: probing every inverted list degenerates to linear scan)."""
+    emb, cents, assigned, exact = fixtures
+    n_clusters = cents.count()
+    approx = {
+        (r.qid, r.vec_id)
+        for r in ivf_search(_queries(emb), assigned, cents, K, nprobe=n_clusters).collect()
+    }
+    assert approx == exact
+
+
+def test_recall_rises_with_nprobe(spark, fixtures):
+    """Recall is monotone in nprobe and clears a floor at nprobe=5/10 —
+    the reference's accuracy-vs-speed dial (ivf.py:214-224). The synthetic
+    64-dim clusters overlap, so absolute recall at tiny nprobe is low; the
+    contract is the monotone curve, not a fixed point."""
+    emb, cents, assigned, exact = fixtures
+    recalls = []
+    for nprobe in (2, 5, 8):
+        approx = {
+            (r.qid, r.vec_id)
+            for r in ivf_search(_queries(emb), assigned, cents, K, nprobe=nprobe).collect()
+        }
+        recalls.append(len(approx & exact) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[1] >= 0.6, f"recall@nprobe=5 {recalls[1]:.2f} below floor"
+
+
+def test_probe_cost_scales_with_nprobe(spark, fixtures):
+    """The candidate set (rows scanned) must shrink with fewer probes —
+    the IVF cost model O(P·M + k), reference ivf.py:17."""
+    emb, cents, assigned, _ = fixtures
+    q = _queries(emb)
+    from stackai_vector_db_spark.operators.ivf import probe_clusters
+
+    sizes = {}
+    for nprobe in (1, 5, 10):
+        probes = probe_clusters(q, cents, nprobe)
+        sizes[nprobe] = assigned.join(probes, "cluster_id").count()
+    assert sizes[1] < sizes[5] < sizes[10]
+
+
+def test_kmeans_centroids_shape(spark, fixtures):
+    emb, *_ = fixtures
+    cents = kmeans_centroids(emb, n_clusters=4)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert all(len(r.centroid) == 64 for r in rows)
+
+
+def test_partitioned_layout_prunes(spark, tmp_path, fixtures):
+    """write_ivf_layout produces cluster_id=N directories and a probe filter
+    scans only those — the declarative form of inverted lists."""
+    emb, cents, _, _ = fixtures
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(emb, cents, path)
+    layout = spark.read.parquet(path)
+    pruned = layout.filter(F.col("cluster_id") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # Partition filter must appear as a pushed partition predicate, and the
+    # pruned scan must read a strict subset of rows.
+    assert "cluster_id" in plan
+    assert 0 < pruned.count() < layout.count()
+    import os
+
+    assert any(d.startswith("cluster_id=") for d in os.listdir(path))
