@@ -804,12 +804,15 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large equi-join lineitem⋈orders (sort-merge / shuffled-hash under
-    AQE) + aggregation — the canonical fact⋈fact shape."""
+    """Large equi-join lineitem⋈orders + aggregation — the canonical
+    fact⋈fact shape. The merge hint pins the sort-merge physical plan this
+    query exists to exercise: at bench SFs orders fits under the broadcast
+    threshold so Catalyst would broadcast it, but at production scale both
+    sides are large and SMJ is the real plan."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -929,6 +932,46 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(euclidean_distance("va", "vb"), 6).alias("dist"),
         )
         .filter(F.col("dist") < NEAR_DUP_TAU)
+    )
+
+
+# The synthetic 64-dim embeddings are near-orthogonal (within-label cosine
+# distance p01 ≈ 0.70), so the "near" threshold sits at the low tail of the
+# distribution rather than a real-world 0.1-0.2.
+COSINE_DUP_TAU = 0.7
+
+
+@register(
+    "q_dedup_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dk_cosine('a.embedding', 'b.embedding')} AS dist
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dk_cosine('a.embedding', 'b.embedding')} < {COSINE_DUP_TAU}
+    """,
+)
+def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: blocked self-join keeping pairs with
+    cosine distance under τ (angular similarity > 1-τ). Same blocked shape
+    as q_dedup_near; the metric is the one used for text-embedding dedup in
+    LLM pipelines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_distance("va", "vb"), 6).alias("dist"),
+        )
+        .filter(F.col("dist") < COSINE_DUP_TAU)
     )
 
 
