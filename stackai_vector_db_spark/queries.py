@@ -1218,6 +1218,37 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_sliding",
+    oracle="""
+    WITH w AS (
+      SELECT e.event_type, e.value,
+             (epoch_ms(e.ts) // 300000) * 300000 - t.off * 300000 AS win_start_ms
+      FROM events e, unnest([0, 1]) t(off)),
+    valid AS (SELECT * FROM w WHERE win_start_ms >= 0)
+    SELECT win_start_ms, event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 6) AS sum_value
+    FROM valid GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands in two
+    overlapping windows — Spark's window(ts, len, slide) form; the oracle
+    materializes the two candidate window starts per event explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "q_events_dedup",
     oracle="""
     WITH r AS (

@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): the HOF column expressions must agree
+with an independent numpy/pure-Python oracle on arbitrary inputs — beyond
+the reference's example-based testing (SURVEY.md §5.1: the reference has no
+property tests; the distance/embedding kernels are exactly where float and
+unicode edge cases hide)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from stackai_vector_db_spark.functions.vector import (
+    cosine_distance,
+    euclidean_distance,
+    fake_embedding,
+)
+
+finite = st.floats(
+    min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite, min_size=1, max_size=16)
+pair = st.integers(min_value=1, max_value=16).flatmap(
+    lambda d: st.tuples(
+        st.lists(finite, min_size=d, max_size=d),
+        st.lists(finite, min_size=d, max_size=d),
+    )
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pair)
+def test_euclidean_matches_numpy(spark, vectors):
+    a, b = vectors
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    [row] = df.select(euclidean_distance("a", "b").alias("d")).collect()
+    expected = float(np.linalg.norm(np.array(a) - np.array(b)))
+    assert math.isclose(row.d, expected, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pair)
+def test_cosine_matches_numpy_with_guard(spark, vectors):
+    a, b = vectors
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    [row] = df.select(cosine_distance("a", "b").alias("d")).collect()
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        expected = 1.0  # reference zero-norm guard, base.py:218-219
+    else:
+        expected = 1.0 - float(np.dot(a, b)) / (na * nb)
+    assert math.isclose(row.d, expected, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _reference_fake_embedding(text: str, dim: int) -> list[float]:
+    """Pure-Python transcription of the reference formula
+    (clients/embedding.py:95-127): lowercase+strip, char codepoint sum,
+    length, whitespace word count."""
+    t = text.strip().lower()
+    cs = sum(ord(c) for c in t)
+    L = len(t)
+    W = len(t.split())
+    return [
+        ((cs * (i + 1) + L * (i + 7) + W * (i + 13)) % 1000) / 1000.0 - 0.5
+        for i in range(dim)
+    ]
+
+
+texts = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFFF
+    ),
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts, st.integers(min_value=1, max_value=32))
+def test_fake_embedding_matches_reference_on_arbitrary_unicode(spark, text, dim):
+    df = spark.createDataFrame([(text,)], "text string")
+    [row] = df.select(fake_embedding(F.col("text"), dim).alias("e")).collect()
+    expected = _reference_fake_embedding(text, dim)
+    assert len(row.e) == dim
+    for got, want in zip(row.e, expected):
+        assert math.isclose(got, want, rel_tol=0, abs_tol=1e-12), (text, dim)
