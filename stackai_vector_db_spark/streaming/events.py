@@ -64,6 +64,22 @@ def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """10-minute windows sliding every 5 — streaming twin of
+    queries.q_events_sliding (each event contributes to two windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "30 minutes",
                 watermark: str = "1 hour") -> DataFrame:
     """Session windows per user — streaming twin of queries.q_events_session."""

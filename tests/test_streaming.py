@@ -16,6 +16,7 @@ from stackai_vector_db_spark.streaming.events import (
     read_events_stream,
     run_finite,
     session_agg,
+    sliding_agg,
     tumbling_agg,
 )
 
@@ -30,6 +31,15 @@ def test_tumbling_stream_matches_batch(spark):
     batch = tumbling_agg(load_table(spark, SF_DIR, "events"))
     stream = run_finite(
         tumbling_agg(read_events_stream(spark, SF_DIR)), "t_tumbling", "complete"
+    )
+    cols = ["win_start_ms", "event_type", "n", "sum_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_sliding_stream_matches_batch(spark):
+    batch = sliding_agg(load_table(spark, SF_DIR, "events"))
+    stream = run_finite(
+        sliding_agg(read_events_stream(spark, SF_DIR)), "t_sliding", "complete"
     )
     cols = ["win_start_ms", "event_type", "n", "sum_value"]
     assert _rows(stream, cols) == _rows(batch, cols)
