@@ -41,8 +41,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so timings measure query execution.
+    # Warm the JVM, parquet footers, and the Python/Arrow worker pool once so
+    # timings measure query execution, not interpreter spin-up.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    warm = spark.range(64).selectExpr("id", "cast(id as double) v")
+    warm.mapInPandas(lambda it: it, schema="id long, v double").count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,108 @@
+"""Random-hyperplane LSH for approximate nearest neighbors (cosine family).
+
+The second scale path next to IVF (operators/ivf.py): instead of learned
+centroids, ``n_planes`` fixed hyperplanes hash each vector to a sign-bit
+bucket; near-angular vectors collide with high probability. Search probes
+the query's bucket plus all hamming-1 neighbors (multi-probe), then runs
+the exact top-k inside the candidate set — the same
+candidate-generation/verification split as MinHash-LSH dedup.
+
+At scale the bucket id is a partition column (``partitionBy("bucket")``
+write → probe filters prune files), and the bucket computation is a pure
+JVM expression over literal hyperplane arrays — no model object, no Python.
+
+Determinism contract: hyperplane components come from a fixed integer
+formula (below), dots are rounded to 9 before the sign test, distances to 6
+before ranking — so Spark and the DuckDB oracle build identical buckets and
+identical rankings. The reference has no LSH (its ANN is IVF only,
+``app/indexes/ivf.py``); this operator follows the standard
+random-hyperplane construction (Charikar's SimHash family) re-expressed
+declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from stackai_vector_db_spark.operators.knn import ROUND
+
+# Hyperplane component (p = plane index, d = dimension index):
+#   ((p·31 + d) · 2654435761 mod 1000) / 1000 − 0.5
+# 2654435761 is the Knuth multiplicative-hash constant; all math stays in
+# exact integers until the final division, so any engine reproduces it.
+_MIX = 2654435761
+
+
+def plane(p: int, dim: int) -> list[float]:
+    return [(((p * 31 + d) * _MIX) % 1000) / 1000.0 - 0.5 for d in range(dim)]
+
+
+def _dot_literal(vec: Column, h: list[float]) -> Column:
+    arr = F.array(*[F.lit(x) for x in h])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-bit bucket id in [0, 2^n_planes)."""
+    b = F.lit(0).cast("long")
+    for p in range(n_planes):
+        b = b + F.when(_dot_literal(vec, plane(p, dim)) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return b
+
+
+def probe_buckets_col(bucket: Column, n_planes: int) -> Column:
+    """The query's bucket plus every hamming-1 neighbor (flip one plane's
+    bit) — standard multi-probe LSH."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 6,
+    metric_col=None,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors whose bucket is within
+    hamming-1 of the query's bucket; exact rounded-distance ranking within.
+    ``metric_col(a, b)`` defaults to cosine — the metric the
+    random-hyperplane family actually preserves (collision probability =
+    1 − θ/π); pass euclidean only when vectors are norm-comparable."""
+    from stackai_vector_db_spark.functions.vector import cosine_distance
+
+    metric_col = metric_col or cosine_distance
+
+    bucketed = vectors.withColumn("bucket", bucket_col(F.col(vec_col), n_planes, dim))
+    probes = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).alias("qvec"),
+        F.explode(
+            probe_buckets_col(bucket_col(F.col(qvec_col), n_planes, dim), n_planes)
+        ).alias("bucket"),
+    )
+    cand = bucketed.join(F.broadcast(probes), "bucket").select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        F.round(metric_col(F.col("qvec"), F.col(vec_col)), ROUND).alias("dist"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist", "rank")
+    )

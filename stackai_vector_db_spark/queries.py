@@ -197,6 +197,62 @@ def q_knn_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+def _dk_lsh_bucket(e: str, n_planes: int, dim: int) -> str:
+    """DuckDB SQL for the LSH sign-bit bucket — mirrors
+    operators.ann_lsh.bucket_col exactly (same hyperplane formula, same
+    round-9-then-sign)."""
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {e}[i]::DOUBLE * (((({p}*31 + (i-1)) * 2654435761) % 1000)"
+            f"/1000.0 - 0.5))), 9)"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+LSH_PLANES = 6
+LSH_DIM = 64
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_dk_lsh_bucket('embedding', LSH_PLANES, LSH_DIM)} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qb
+          FROM b WHERE vec_id < {KNN_NQ}),
+    probes AS (
+      SELECT q.qid, q.qvec,
+             CASE WHEN t.j < 0 THEN q.qb
+                  ELSE xor(q.qb, (1::BIGINT << t.j)) END AS bucket
+      FROM q, unnest(range(-1, {LSH_PLANES})) t(j)),
+    cand AS (
+      SELECT p.qid, v.vec_id,
+             {_dk_cosine('p.qvec', 'v.embedding')} AS dist
+      FROM probes p JOIN b v ON v.bucket = p.bucket),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM cand)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= {KNN_K}
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate kNN: random-hyperplane sign buckets +
+    hamming-1 multi-probe + exact rank within candidates (the second ANN
+    scale path next to IVF; bucket becomes a partition column at scale)."""
+    from stackai_vector_db_spark.operators.ann_lsh import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_lsh_topk(
+        _knn_queries(emb), emb, KNN_K, dim=LSH_DIM, n_planes=LSH_PLANES
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 @register(
     "q_join_hits_chunks",
     oracle=f"""
@@ -1426,6 +1482,72 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar query; spread the single-file source across cores first.
     par = spark.sparkContext.defaultParallelism
     return d.repartition(par).select("doc_id", simhash32(th).alias("simhash"))
+
+
+_DK_SIMHASH_TH = """
+    th_t AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_reduce(
+                      list_prepend(0::BIGINT,
+                        list_transform(range(1, length(t)+1),
+                          c -> ord(substr(t, c, 1))::BIGINT)),
+                      (a, x) -> (a*31 + x) % 1000000007)) AS th
+      FROM aug),
+    sh AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN list_sum(list_transform(th,
+                      h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (2**i)::BIGINT ELSE 0 END))::BIGINT AS simhash
+      FROM th_t)
+"""
+
+# The fixture's word-salad docs share vocabulary heavily, so the background
+# hamming distribution is tight; τ=2 keeps the screen selective (the planted
+# exact/near copies land at 0-2).
+SIMHASH_HAM_TAU = 2
+
+
+@register(
+    "q_simhash_near",
+    oracle=f"""
+    WITH {_DK_AUG_DOCS}, {_DK_SIMHASH_TH}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM sh a JOIN sh b
+      ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_TAU}
+    """,
+)
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidate generation by equality on the top
+    16 fingerprint bits (a 1-band LSH on the simhash), verification by
+    hamming distance ≤ τ — constant-size state per doc, join on a short
+    key; the cheap screen before exact Jaccard in a dedup cascade."""
+    from stackai_vector_db_spark.operators.dedup import simhash32, token_hashes, tokens_col
+
+    aug = _aug_docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    sh = aug.repartition(par).select(
+        "doc_id",
+        simhash32(token_hashes(tokens_col(F.col("text")))).alias("simhash"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("shb"))
+    return (
+        a.join(
+            b,
+            (F.shiftright("sha", 16) == F.shiftright("shb", 16))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_TAU)
+    )
 
 
 @register("q_multimodal_features", oracle=None)  # ⚠ binary mapInPandas plumbing — rows-only
