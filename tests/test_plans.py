@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale (pushdown, pruning, broadcast vs SMJ, shuffle counts, Python-stage
+placement) asserted against the live Catalyst output — if a refactor
+silently de-optimizes a plan, these fail before any benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tools.explain_audit import audit
+from stackai_vector_db_spark.queries import REGISTRY
+
+
+def _audit(spark, name):
+    return audit(REGISTRY[name].fn(spark, SF_DIR))
+
+
+def test_scan_project_pushes_filter_and_prunes(spark):
+    a = _audit(spark, "q_scan_project")
+    assert any("GreaterThan(l_quantity" in p for p in a["pushed"])
+    # projection pruning: only the 4 needed columns reach the scan
+    assert all(len(s.split(",")) <= 4 for s in a["schemas"])
+
+
+def test_point_lookup_pushes_key(spark):
+    a = _audit(spark, "q_point_lookup")
+    assert any("o_orderkey" in p for p in a["pushed"])
+
+
+def test_broadcast_join_chain_stays_broadcast(spark):
+    a = _audit(spark, "q_join_broadcast")
+    assert a["joins"] == ["BroadcastHashJoin"]
+    assert a["shuffles"] <= 1  # only the final aggregation
+
+
+def test_smj_pin_holds(spark):
+    a = _audit(spark, "q_join_smj")
+    assert "SortMergeJoin" in a["joins"]
+
+
+def test_anti_semi_joins_shuffle_free(spark):
+    for name in ("q_cascade_anti", "q_semi_exists", "q_anti_tombstone"):
+        a = _audit(spark, name)
+        assert a["joins"] == ["BroadcastHashJoin"], name
+        assert a["shuffles"] == 0, name
+
+
+def test_knn_prereduce_is_python_then_one_shuffle(spark):
+    a = _audit(spark, "q_knn_brute_topk")
+    assert a["python_stages"] == 1  # the Arrow local-topk kernel
+    assert a["shuffles"] <= 1      # only the final exact window
+
+
+def test_fake_embed_no_join_no_shuffle_pruned(spark):
+    a = _audit(spark, "q_fake_embed")
+    assert a["joins"] == []
+    # repartition of the single-file source is allowed; nothing else
+    assert a["shuffles"] <= 1
+    assert a["python_stages"] == 0  # embedding is a native expression
+
+
+def test_multimodal_filter_precedes_python_stage(spark):
+    a = _audit(spark, "q_multimodal_features")
+    assert a["python_stages"] == 1
