@@ -101,3 +101,30 @@ def fake_embedding(text: Column | str, dim: int) -> Column:
 def add_fake_embedding(df, text_col: str = "text", dim: int = 16, out_col: str = "emb"):
     """DataFrame-level convenience: ``df`` plus a fake-embedding column."""
     return df.withColumn(out_col, fake_embedding(F.col(text_col), dim))
+
+
+def enforce_dim_consistency(vectors, vec_col: str = "embedding"):
+    """Fail the job if non-empty embeddings disagree on dimension — the
+    enforce side of A9 (reference raises EmbeddingDimensionMismatchError,
+    ``app/services/index_service.py:426-428``, ``app/indexes/base.py:107-123``).
+
+    The check is a 1-row aggregate broadcast-crossed into the plan: zero
+    extra shuffle on the data side, and the error surfaces on the first
+    action touching the result."""
+    check = (
+        vectors.filter(F.size(vec_col) > 0)
+        .agg(F.count_distinct(F.size(F.col(vec_col))).alias("__ndims"))
+        .select(
+            F.assert_true(
+                F.col("__ndims") <= 1,
+                F.lit("embedding dimension mismatch across rows"),
+            ).alias("__ok")
+        )
+    )
+    # Filter on the assert output (NULL when the check passes) so Catalyst
+    # cannot prune the unevaluated assertion out of a count()-style action.
+    return (
+        vectors.crossJoin(F.broadcast(check))
+        .filter(F.col("__ok").isNull())
+        .drop("__ok")
+    )

@@ -67,6 +67,33 @@ def test_dedup_within_watermark(spark):
     assert got == n_distinct
 
 
+def test_stateful_running_totals_matches_batch(spark):
+    """applyInPandasWithState per-user totals: after draining the finite
+    stream, the latest emitted state per user must equal the batch
+    aggregate (custom-stateful-operator parity)."""
+    from stackai_vector_db_spark.streaming.stateful import running_user_totals
+
+    stream = run_finite(
+        running_user_totals(read_events_stream(spark, SF_DIR)),
+        "t_stateful",
+        "update",
+    )
+    # update mode re-emits a key per micro-batch; availableNow on one file
+    # yields one batch, but be robust: keep the max-n (latest) row per user.
+    latest = (
+        stream.groupBy("user_id")
+        .agg(F.max(F.struct("n", "sum_value")).alias("m"))
+        .select("user_id", F.col("m.n").alias("n"), F.col("m.sum_value").alias("sum_value"))
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    cols = ["user_id", "n", "sum_value"]
+    assert _rows(latest, cols) == _rows(batch, cols)
+
+
 def test_incremental_index_stream(spark):
     """Streaming J3: file-arrival vectors assigned to static centroids must
     reproduce the batch assignment exactly (reference ivf.py:168-196)."""

@@ -71,3 +71,25 @@ def test_fake_embedding_deterministic(spark):
     rows = df.select(fake_embedding(F.col("text"), 4).alias("e")).collect()
     assert rows[0]["e"] == rows[1]["e"]
     assert rows[0]["e"] != rows[2]["e"]
+
+
+def test_enforce_dim_consistency(spark):
+    """A9 enforce path: inconsistent dims must fail on action; consistent
+    (plus empty-embedding rows, which the check ignores) must pass through
+    (reference raises EmbeddingDimensionMismatchError, base.py:107-123)."""
+    import pytest
+
+    from stackai_vector_db_spark.functions.vector import enforce_dim_consistency
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [])],
+        "id long, embedding array<double>",
+    )
+    assert enforce_dim_consistency(ok).count() == 3
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0])],
+        "id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="(?i)dimension mismatch"):
+        enforce_dim_consistency(bad).count()
