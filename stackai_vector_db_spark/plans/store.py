@@ -205,9 +205,29 @@ class VectorStore:
 
     # ---- index build (trace §3.2) ----------------------------------------
 
-    def build_index(self, library_id: int, n_clusters: int = 8) -> int:
+    @staticmethod
+    def select_algorithm(n: int, dim: int) -> str:
+        """Auto index selection (reference ``app/indexes/manager.py:39-63``):
+        linear for <1,000 vectors; IVF for ≥10,000 vectors or >50 dims.
+        The reference's middle tier (kdtree: dim ≤ 20 and n < 50k) is
+        intentionally folded into linear — SURVEY.md §4.1 drops the KD-tree
+        (sequential pointer-chasing is an anti-pattern on Spark); its exact
+        contract is covered by the linear scan, its pruning contract by the
+        IVF partition layout."""
+        if n >= 10_000 or dim > 50:
+            return "ivf"
+        return "linear"
+
+    def build_index(
+        self,
+        library_id: int,
+        n_clusters: int = 8,
+        algorithm: str | None = None,
+    ) -> int:
         """Backfill embeddings, KMeans centroids, cluster-partitioned write,
-        pointer swap, dirty reset — the full build trace as one batch job."""
+        pointer swap, dirty reset — the full build trace as one batch job.
+        ``algorithm`` None → auto-selected from (n, dim); "linear" writes a
+        single-cluster layout (every probe scans everything — exact)."""
         cur = self.read_chunks()
         if cur is None:
             raise ValueError("empty store")
@@ -221,8 +241,18 @@ class VectorStore:
             ),
         )
         vectors = lib.select(F.col("chunk_id").alias("vec_id"), "embedding")
-        cents = kmeans_centroids(vectors, n_clusters=n_clusters)
-        assigned = assign_clusters(vectors, cents)
+        if algorithm is None:
+            algorithm = self.select_algorithm(vectors.count(), self.dim)
+        if algorithm == "linear":
+            # Degenerate one-cluster layout: centroid = origin, all vectors
+            # in cluster 0 (probe filter passes everything → exact scan).
+            cents = self.spark.createDataFrame(
+                [(0, [0.0] * self.dim)], "cluster_id int, centroid array<double>"
+            )
+            assigned = vectors.select("vec_id", F.lit(0).alias("cluster_id"))
+        else:
+            cents = kmeans_centroids(vectors, n_clusters=n_clusters)
+            assigned = assign_clusters(vectors, cents)
         new_v = self.versions()["index"] + 1
         (
             lib.join(
@@ -236,7 +266,7 @@ class VectorStore:
         cents.write.mode("overwrite").parquet(
             os.path.join(self._index_path(new_v), "_centroids")
         )
-        self._swap_pointer(index=new_v)
+        self._swap_pointer(index=new_v, algorithm=algorithm)
         self._reset_dirty(library_id)
         return new_v
 
@@ -279,3 +309,118 @@ class VectorStore:
             )
             .select("qid", "chunk_id", "document_id", "dist", "rank", "text")
         )
+
+    def search_vector(
+        self,
+        library_id: int,
+        vector: list[float],
+        k: int = 10,
+        nprobe: int = 2,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Raw-vector search (reference ``POST /query`` with an embedding
+        payload): dimension-checked against the store dim (422-equivalent,
+        ``search_service.py:126-135``), then the same probe→topk→hydrate
+        plan as :meth:`search_text`."""
+        if len(vector) != self.dim:
+            raise ValueError(
+                f"query dim {len(vector)} != index dim {self.dim}"
+            )  # DimensionMismatchError
+        q = self.spark.createDataFrame(
+            [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
+        )
+        idx, cents = self.read_index(version)
+        probes = probe_clusters(q, cents, nprobe)
+        cand = idx.join(
+            F.broadcast(probes.select("cluster_id").distinct()), "cluster_id"
+        )
+        hits = brute_force_topk(
+            q, cand, k, id_col="chunk_id", vec_col="embedding"
+        ).withColumnRenamed("vec_id", "chunk_id")
+        return (
+            F.broadcast(hits)
+            .join(
+                idx.select("chunk_id", "document_id", "library_id", "text"), "chunk_id"
+            )
+            .select("qid", "chunk_id", "document_id", "dist", "rank", "text")
+        )
+
+    def index_status(self, library_id: int) -> dict:
+        """IndexStatus analog (reference ``index_service.py:285-302``):
+        built?, version, algorithm, size, dirty count, rebuild flag."""
+        vs = self.versions()
+        built = vs["index"] > 0
+        size = 0
+        if built:
+            idx, _ = self.read_index()
+            size = idx.filter(F.col("library_id") == library_id).count()
+        return {
+            "is_built": built,
+            "index_version": vs["index"],
+            "chunks_version": vs["chunks"],
+            "algorithm": vs.get("algorithm"),
+            "size": size,
+            "dirty_count": self.dirty_count(library_id),
+            "needs_rebuild": self.needs_rebuild(library_id),
+        }
+
+    # ---- library entities (reference routers/libraries.py) ----------------
+
+    def _libraries_path(self) -> str:
+        return os.path.join(self.root, "control", "libraries")
+
+    def list_libraries(self) -> DataFrame | None:
+        if not os.path.exists(self._libraries_path()):
+            return None
+        return self.spark.read.parquet(self._libraries_path()).orderBy(
+            F.lower("name")
+        )
+
+    def create_library(self, library_id: int, name: str, description: str = "") -> None:
+        """Create with case-insensitive name uniqueness (reference
+        ``library_repository.py:18-19``, ``36-39``: casefolded unique
+        index; duplicate → error)."""
+        if not name.strip():
+            raise ValueError("library name must be non-empty")
+        if len(name) > 255:
+            raise ValueError("library name too long")  # config.py:53-54
+        cur = self.list_libraries()
+        row = self.spark.createDataFrame(
+            [(library_id, name.strip(), description)],
+            "library_id long, name string, description string",
+        )
+        if cur is not None:
+            clash = cur.filter(
+                (F.lower("name") == name.strip().lower())
+                | (F.col("library_id") == library_id)
+            )
+            if not clash.isEmpty():
+                raise ValueError(f"library name/id already exists: {name!r}")
+            row = cur.unionByName(row)
+        tmp = self._libraries_path() + "_tmp"
+        row.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
+            self._libraries_path()
+        )
+
+    def delete_library(self, library_id: int) -> None:
+        """Cascade: drop the library row and anti-join its chunks away
+        (reference ``library_service.py:67-77``)."""
+        cur = self.list_libraries()
+        if cur is None or cur.filter(F.col("library_id") == library_id).isEmpty():
+            raise ValueError(f"library {library_id} not found")
+        remaining = cur.filter(F.col("library_id") != library_id)
+        tmp = self._libraries_path() + "_tmp"
+        remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
+            self._libraries_path()
+        )
+        chunks = self.read_chunks()
+        if chunks is not None:
+            survivors = chunks.filter(F.col("library_id") != library_id)
+            v = self.versions()["chunks"] + 1
+            survivors.write.mode("overwrite").partitionBy("library_id").parquet(
+                self._chunks_path(v)
+            )
+            self._swap_pointer(chunks=v)
+        self._reset_dirty(library_id)

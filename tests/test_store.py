@@ -90,6 +90,58 @@ def test_cascade_delete(spark, store):
     assert after.filter(F.col("document_id").isin(0, 1)).count() == 0
 
 
+def test_search_vector_and_dim_check(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 40))
+    store.build_index(1, n_clusters=4)
+    # take an existing chunk's embedding → it must be its own top hit
+    row = store.read_chunks().filter(F.col("chunk_id") == 100007).collect()[0]
+    hits = store.search_vector(1, list(row["embedding"]), k=3)
+    top = sorted(hits.collect(), key=lambda r: r["rank"])[0]
+    assert top["chunk_id"] == 100007 and top["dist"] == 0.0
+
+    with pytest.raises(ValueError, match="dim"):
+        store.search_vector(1, [0.0] * 5)
+
+
+def test_index_status_and_auto_algorithm(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 30))
+    st = store.index_status(1)
+    assert not st["is_built"] and st["needs_rebuild"]
+    store.build_index(1)  # auto: 30 vectors, dim 16 → linear
+    st = store.index_status(1)
+    assert st["is_built"] and st["algorithm"] == "linear"
+    assert st["size"] == 30 and not st["needs_rebuild"]
+    # exactness of the linear layout: every probe scans everything
+    hits = store.search_text(1, "chunk text number 7 for library 1 with words", k=1)
+    assert hits.collect()[0]["dist"] == 0.0
+
+
+def test_select_algorithm_heuristic():
+    assert VectorStore.select_algorithm(500, 16) == "linear"
+    assert VectorStore.select_algorithm(20_000, 16) == "ivf"
+    assert VectorStore.select_algorithm(500, 64) == "ivf"
+
+
+def test_library_crud_and_cascade(spark, store):
+    store.create_library(1, "Research Papers")
+    store.create_library(2, "Notes")
+    with pytest.raises(ValueError, match="exists"):
+        store.create_library(3, "research papers")  # case-insensitive clash
+    with pytest.raises(ValueError, match="non-empty"):
+        store.create_library(4, "   ")
+    assert [r["name"] for r in store.list_libraries().collect()] == [
+        "Notes",
+        "Research Papers",
+    ]
+
+    store.ingest_chunks(_chunk_rows(spark, 20, library_id=1))
+    store.ingest_chunks(_chunk_rows(spark, 20, library_id=2))
+    store.delete_library(1)
+    assert [r["name"] for r in store.list_libraries().collect()] == ["Notes"]
+    assert store.read_chunks().filter(F.col("library_id") == 1).count() == 0
+    assert store.read_chunks().filter(F.col("library_id") == 2).count() == 20
+
+
 def test_snapshot_stable_during_rebuild(spark, store):
     """Reader pinned to index v1 sees identical results after v2 is built
     from different data — the RWLock/snapshot guarantee via immutability."""
