@@ -1484,6 +1484,88 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.repartition(par).select("doc_id", simhash32(th).alias("simhash"))
 
 
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, epoch_ms(p.ts)::BIGINT AS ts_ms,
+           v.event_id AS view_event_id,
+           epoch_ms(v.ts)::BIGINT AS view_ts_ms
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-equal view (operators/asof.py — union-tag + sorted window
+    carry-forward, one shuffle, no N×M pair space). Oracle = DuckDB's
+    native ASOF LEFT JOIN over identically-deduplicated views."""
+    from stackai_vector_db_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join_backward(
+        purchases, views, key="user_id", ts="ts",
+        right_payload=["ts"], right_id="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("matched_id").alias("view_event_id"),
+        F.unix_millis("matched_ts").alias("view_ts_ms"),
+    )
+
+
+RANGE_BAND_W = 6.5
+RANGE_BUCKET_W = 4.0
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    WITH bands AS (
+      SELECT i AS band_id, i * {RANGE_BAND_W} AS lo, (i + 1) * {RANGE_BAND_W} AS hi
+      FROM range(0, 8) t(i))
+    SELECT b.band_id,
+           count(*)::BIGINT AS n,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM lineitem l JOIN bands b
+      ON b.lo <= l.l_quantity AND l.l_quantity < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via band bucketing
+    (operators/range_join.py): intervals explode over covered buckets,
+    points hash to their bucket, equi-join + exact refine — no
+    nested-loop pair scan."""
+    from stackai_vector_db_spark.operators.range_join import banded_range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    bands = spark.range(0, 8).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * RANGE_BAND_W).alias("lo"),
+        ((F.col("id") + 1) * RANGE_BAND_W).alias("hi"),
+    )
+    joined = banded_range_join(
+        li, bands, point_col="l_quantity", lo_col="lo", hi_col="hi",
+        bucket_width=RANGE_BUCKET_W,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
 _DK_SIMHASH_TH = """
     th_t AS (
       SELECT doc_id,
