@@ -32,6 +32,9 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_events_session",
     "q_window_frame",
+    "q_ann_lsh_topk",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 

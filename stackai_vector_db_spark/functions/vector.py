@@ -50,6 +50,34 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     return F.when(norms == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) - dot / norms)
 
 
+# Python's str whitespace set (chars str.strip()/str.split() treat as
+# whitespace — every codepoint where str.isspace() is True). The reference
+# uses Python semantics (embedding.py:103: text.strip().lower(), .split()),
+# and Spark's trim()/'\\s' only cover the ASCII subset — property testing
+# caught the divergence on \\x1c-\\x1f (tests/test_properties.py).
+PY_WS_CODEPOINTS: tuple[int, ...] = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+_PY_WS_CLASS = "[" + "".join(chr(c) for c in PY_WS_CODEPOINTS) + "]"
+
+
+def py_trim(t: Column) -> Column:
+    """Python ``str.strip()`` semantics (strips the full unicode whitespace
+    set, unlike Spark ``trim`` which strips only ASCII spaces)."""
+    return F.regexp_replace(
+        F.regexp_replace(t, f"^{_PY_WS_CLASS}+", ""), f"{_PY_WS_CLASS}+$", ""
+    )
+
+
+def py_word_count(clean: Column) -> Column:
+    """Python ``str.split()`` word count over an already-trimmed string."""
+    return F.when(F.length(clean) == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(clean, f"{_PY_WS_CLASS}+")).cast("long")
+    )
+
+
 def fake_embedding(text: Column | str, dim: int) -> Column:
     """Deterministic fake embedding (reference ``app/clients/embedding.py:95-127``).
 
@@ -69,14 +97,12 @@ def fake_embedding(text: Column | str, dim: int) -> Column:
     projections, measured 5.5× at dim 16).
     """
     t = _c(text) if not isinstance(text, str) else F.col(text)
-    clean = F.lower(F.trim(t))
+    clean = F.lower(py_trim(t))
     cs = F.aggregate(
         F.split(clean, ""), F.lit(0).cast("long"), lambda acc, ch: acc + F.ascii(ch)
     )
     length = F.length(clean).cast("long")
-    words = F.when(F.length(clean) == 0, F.lit(0).cast("long")).otherwise(
-        F.size(F.split(clean, r"\s+")).cast("long")
-    )
+    words = py_word_count(clean)
     props = F.array(F.struct(cs.alias("cs"), length.alias("l"), words.alias("w")))
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
 

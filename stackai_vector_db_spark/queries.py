@@ -295,14 +295,22 @@ def q_join_hits_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FAKE_DIM = 8
 
-_DK_CLEAN = "lower(trim(text))"
+# Python str whitespace set as an RE2 class — the oracle must mirror the
+# engine's Python-faithful trim/split (functions.vector.PY_WS_CODEPOINTS).
+from stackai_vector_db_spark.functions.vector import PY_WS_CODEPOINTS as _PY_WS
+
+_DK_WS = "[" + "".join(f"\\x{{{c:x}}}" for c in _PY_WS) + "]"
+_DK_CLEAN = (
+    f"lower(regexp_replace(regexp_replace(text, '^{_DK_WS}+', ''), "
+    f"'{_DK_WS}+$', ''))"
+)
 _DK_CS = (
     f"list_sum(list_transform(range(1, length({_DK_CLEAN})+1), "
     f"i -> ord(substr({_DK_CLEAN}, i, 1))))"
 )
 _DK_WORDS = (
     f"CASE WHEN length({_DK_CLEAN}) = 0 THEN 0 "
-    f"ELSE len(regexp_split_to_array({_DK_CLEAN}, '\\s+')) END"
+    f"ELSE len(regexp_split_to_array({_DK_CLEAN}, '{_DK_WS}+')) END"
 )
 
 
@@ -1482,6 +1490,56 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar query; spread the single-file source across cores first.
     par = spark.sparkContext.defaultParallelism
     return d.repartition(par).select("doc_id", simhash32(th).alias("simhash"))
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (both engines use linear
+    interpolation, so values hash-match; the sketch-based
+    approx_percentile is the scale path and is covered rows-only by
+    q_approx_distinct's family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, event_id,
+           round(value - prev, 6) AS delta
+    FROM o WHERE prev IS NOT NULL
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag: per-user delta between consecutive event values
+    (ordered by ts with event_id tie-break — the deterministic-window
+    rule)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.col("prev"), 6).alias("delta"),
+        )
+    )
 
 
 @register(

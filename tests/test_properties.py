@@ -10,7 +10,7 @@ import math
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -81,6 +81,9 @@ texts = st.text(
 
 @settings(max_examples=10, deadline=None)
 @given(texts, st.integers(min_value=1, max_value=32))
+@example("\x1f", 1)     # Python strips \x1c-\x1f; Spark trim() does not —
+@example("a\xa0b", 4)   # found by hypothesis, fixed via py_trim/py_word_count
+@example(" 　 mixed ws ", 3)
 def test_fake_embedding_matches_reference_on_arbitrary_unicode(spark, text, dim):
     df = spark.createDataFrame([(text,)], "text string")
     [row] = df.select(fake_embedding(F.col("text"), dim).alias("e")).collect()
