@@ -403,6 +403,61 @@ class VectorStore:
             self._libraries_path()
         )
 
+    # ---- document entities (reference routers/documents.py) ---------------
+
+    def _documents_path(self) -> str:
+        return os.path.join(self.root, "control", "documents")
+
+    def _rewrite_documents(self, df: DataFrame) -> None:
+        tmp = self._documents_path() + "_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
+            self._documents_path()
+        )
+
+    def list_documents(self, library_id: int | None = None) -> DataFrame | None:
+        """Documents ordered by lower(title) (reference
+        ``document_repository.py:24-27``)."""
+        if not os.path.exists(self._documents_path()):
+            return None
+        df = self.spark.read.parquet(self._documents_path())
+        if library_id is not None:
+            df = df.filter(F.col("library_id") == library_id)
+        return df.orderBy(F.lower("title"))
+
+    def create_document(self, document_id: int, library_id: int, title: str) -> None:
+        """FK-guarded create (reference J5: parent library must exist,
+        ``document_service.py:64-65``); title non-empty, ≤ 255."""
+        if not title.strip():
+            raise ValueError("document title must be non-empty")
+        if len(title) > 255:
+            raise ValueError("document title too long")
+        libs = self.list_libraries()
+        if libs is None or libs.filter(F.col("library_id") == library_id).isEmpty():
+            raise ValueError(f"library {library_id} not found")
+        row = self.spark.createDataFrame(
+            [(document_id, library_id, title.strip())],
+            "document_id long, library_id long, title string",
+        )
+        cur = self.list_documents()
+        if cur is not None:
+            if not cur.filter(F.col("document_id") == document_id).isEmpty():
+                raise ValueError(f"document {document_id} already exists")
+            row = cur.unionByName(row)
+        self._rewrite_documents(row)
+
+    def delete_document(self, document_id: int) -> None:
+        """Cascade: drop the document row and its chunks (reference
+        ``document_repository.py:70-81`` + chunk cascade)."""
+        cur = self.list_documents()
+        if cur is None or cur.filter(F.col("document_id") == document_id).isEmpty():
+            raise ValueError(f"document {document_id} not found")
+        self._rewrite_documents(cur.filter(F.col("document_id") != document_id))
+        if self.read_chunks() is not None:
+            self.delete_documents(
+                self.spark.createDataFrame([(document_id,)], "document_id long")
+            )
+
     def delete_library(self, library_id: int) -> None:
         """Cascade: drop the library row and anti-join its chunks away
         (reference ``library_service.py:67-77``)."""

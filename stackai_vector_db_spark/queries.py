@@ -1493,6 +1493,50 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array({_DK_CLEAN}, '{_DK_WS}+')) AS term
+      FROM documents WHERE length({_DK_CLEAN}) > 0),
+    counted AS (
+      SELECT lang, term, count(*)::BIGINT AS n FROM toks
+      WHERE length(term) >= 3 GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      FROM counted)
+    SELECT lang, term, n, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode → count → ranked window — the
+    classic corpus-vocabulary aggregate (explode fans out, the count is a
+    partial-aggregated shuffle on (lang, term), the final rank shuffles
+    only one row per distinct term)."""
+    from stackai_vector_db_spark.functions.vector import (
+        PY_WS_CODEPOINTS,
+        py_trim,
+    )
+
+    ws_class = "[" + "".join(chr(c) for c in PY_WS_CODEPOINTS) + "]+"
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.lower(py_trim(F.col("text")))
+    toks = (
+        d.select("lang", clean.alias("clean"))
+        .filter(F.length("clean") > 0)
+        .select("lang", F.explode(F.split("clean", ws_class)).alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    counted = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "n", "rnk")
+    )
+
+
+@register(
     "q_percentile",
     oracle="""
     SELECT l_returnflag,

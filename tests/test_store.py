@@ -142,6 +142,30 @@ def test_library_crud_and_cascade(spark, store):
     assert store.read_chunks().filter(F.col("library_id") == 2).count() == 20
 
 
+def test_document_crud_and_cascade(spark, store):
+    store.create_library(1, "Lib")
+    with pytest.raises(ValueError, match="not found"):
+        store.create_document(10, 99, "orphan")  # FK guard (J5)
+    store.create_document(10, 1, "Beta doc")
+    store.create_document(11, 1, "alpha doc")
+    with pytest.raises(ValueError, match="exists"):
+        store.create_document(10, 1, "dup id")
+    # ordered by lower(title)
+    assert [r["title"] for r in store.list_documents(1).collect()] == [
+        "alpha doc",
+        "Beta doc",
+    ]
+    # chunks of doc 0..4 exist; deleting document 10 cascades only its chunks
+    store.ingest_chunks(_chunk_rows(spark, 20))  # document_ids 0..4
+    store.create_document(0, 1, "doc zero")
+    before = store.read_chunks().count()
+    store.delete_document(0)
+    after = store.read_chunks()
+    assert after.filter(F.col("document_id") == 0).count() == 0
+    assert after.count() < before
+    assert [r["document_id"] for r in store.list_documents(1).collect()] == [11, 10]
+
+
 def test_snapshot_stable_during_rebuild(spark, store):
     """Reader pinned to index v1 sees identical results after v2 is built
     from different data — the RWLock/snapshot guarantee via immutability."""
