@@ -134,6 +134,37 @@ class VectorStore:
             return None
         return self.spark.read.parquet(path)
 
+    def update_chunk_text(self, chunk_id: int, new_text: str) -> int:
+        """Copy-on-write update (reference ``entities.py:259-294``: updates
+        return new immutable instances): rewrite the row with new text +
+        re-computed embedding into the next chunks version; readers pinned
+        to the old version are untouched. Marks the library dirty
+        (``chunk_service.py:117-120``)."""
+        if not new_text.strip():
+            raise ValueError("chunk text must be non-empty")
+        cur = self.read_chunks()
+        if cur is None or cur.filter(F.col("chunk_id") == chunk_id).isEmpty():
+            raise ValueError(f"chunk {chunk_id} not found")
+        updated = cur.withColumn(
+            "text",
+            F.when(F.col("chunk_id") == chunk_id, F.lit(new_text)).otherwise(
+                F.col("text")
+            ),
+        ).withColumn(
+            "embedding",
+            F.when(
+                F.col("chunk_id") == chunk_id,
+                fake_embedding(F.lit(new_text), self.dim).cast("array<float>"),
+            ).otherwise(F.col("embedding")),
+        )
+        v = self.versions()["chunks"] + 1
+        updated.write.mode("overwrite").partitionBy("library_id").parquet(
+            self._chunks_path(v)
+        )
+        self._swap_pointer(chunks=v)
+        self._bump_dirty(cur.filter(F.col("chunk_id") == chunk_id))
+        return v
+
     # ---- cascade delete (J4, trace library_service.py:67-77) -------------
 
     def delete_documents(self, doc_ids: DataFrame) -> int:

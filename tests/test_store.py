@@ -142,6 +142,26 @@ def test_library_crud_and_cascade(spark, store):
     assert store.read_chunks().filter(F.col("library_id") == 2).count() == 20
 
 
+def test_update_chunk_copy_on_write(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 10))
+    v1 = store.versions()["chunks"]
+    old = store.read_chunks(v1).filter(F.col("chunk_id") == 100003).collect()[0]
+
+    store.update_chunk_text(100003, "fresh replacement text")
+    new = store.read_chunks().filter(F.col("chunk_id") == 100003).collect()[0]
+    assert new["text"] == "fresh replacement text"
+    assert list(new["embedding"]) != list(old["embedding"])  # re-embedded
+    # old version still readable and unchanged (copy-on-write)
+    pinned = store.read_chunks(v1).filter(F.col("chunk_id") == 100003).collect()[0]
+    assert pinned["text"] == old["text"]
+    assert store.dirty_count(1) > 0
+
+    with pytest.raises(ValueError, match="not found"):
+        store.update_chunk_text(999999, "x")
+    with pytest.raises(ValueError, match="non-empty"):
+        store.update_chunk_text(100003, "   ")
+
+
 def test_document_crud_and_cascade(spark, store):
     store.create_library(1, "Lib")
     with pytest.raises(ValueError, match="not found"):
