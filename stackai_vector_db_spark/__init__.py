@@ -11,3 +11,28 @@ module's docstrings.
 """
 
 __version__ = "0.1.0"
+
+# Public API — the stable surface a reference user would script against.
+from stackai_vector_db_spark.session import get_spark  # noqa: E402,F401
+from stackai_vector_db_spark.catalog import load_table, load_tables  # noqa: E402,F401
+from stackai_vector_db_spark.functions.vector import (  # noqa: E402,F401
+    cosine_distance,
+    enforce_dim_consistency,
+    euclidean_distance,
+    fake_embedding,
+)
+from stackai_vector_db_spark.operators.knn import brute_force_topk  # noqa: E402,F401
+from stackai_vector_db_spark.operators.ivf import (  # noqa: E402,F401
+    assign_clusters,
+    ivf_search,
+    kmeans_centroids,
+    write_ivf_layout,
+)
+from stackai_vector_db_spark.operators.ann_lsh import ann_lsh_topk  # noqa: E402,F401
+from stackai_vector_db_spark.operators.asof import asof_join_backward  # noqa: E402,F401
+from stackai_vector_db_spark.operators.range_join import banded_range_join  # noqa: E402,F401
+from stackai_vector_db_spark.operators.dedup import (  # noqa: E402,F401
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from stackai_vector_db_spark.plans.store import VectorStore  # noqa: E402,F401
