@@ -186,6 +186,49 @@ def test_document_crud_and_cascade(spark, store):
     assert [r["document_id"] for r in store.list_documents(1).collect()] == [11, 10]
 
 
+def test_parallel_readers_during_rebuild(spark, store):
+    """Tier-5 concurrency (reference tests/test_concurrency.py:25-92):
+    reader threads pinned to index v1 run concurrently with a writer
+    building v2 — every read must return the v1 result, no locks involved
+    (immutability replaces the reference's RWLock)."""
+    import threading
+
+    store.ingest_chunks(_chunk_rows(spark, 40))
+    store.build_index(1, n_clusters=4)
+    q = "chunk text number 3 for library 1 with words"
+    want = sorted(map(tuple, store.search_text(1, q, k=5, version=1).collect()))
+
+    results, errors = [], []
+
+    def reader():
+        try:
+            for _ in range(3):
+                got = sorted(
+                    map(tuple, store.search_text(1, q, k=5, version=1).collect())
+                )
+                results.append(got)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    def writer():
+        try:
+            store.ingest_chunks(_chunk_rows(spark, 40, start_doc=80))
+            store.build_index(1, n_clusters=4)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    threads.append(threading.Thread(target=writer))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert len(results) == 9 and all(r == want for r in results)
+    assert store.versions()["index"] == 2  # writer finished
+
+
 def test_snapshot_stable_during_rebuild(spark, store):
     """Reader pinned to index v1 sees identical results after v2 is built
     from different data — the RWLock/snapshot guarantee via immutability."""
