@@ -97,6 +97,83 @@ def extract_image_features(
     return images.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, payload binary"
+)
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, duration_ms int, rms double, feature array<float>"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, fake_decode: bool = True
+) -> DataFrame:
+    """Resize: decode → scale → re-encode per batch. The fake kernel
+    deterministically downsamples payload bytes to width·height
+    (stride-sampled), so output size, schema, and batch behavior match a
+    real codec path exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_payloads = []
+            for p in pdf["payload"]:
+                if not fake_decode:  # pragma: no cover - requires codec libs
+                    _decode_image_real(bytes(p))
+                b = bytes(p)
+                n = max(width * height // 64, 1)  # fake "pixel" budget
+                stride = max(len(b) // n, 1)
+                out_payloads.append(b[::stride][:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out_payloads,
+                }
+            )
+
+    images = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    media: DataFrame, feature_dim: int = 8, fake_decode: bool = True
+) -> DataFrame:
+    """Audio features (RMS + banded energies). Fake kernel: byte-level RMS
+    and per-band means over equal payload slices — deterministic, same
+    shapes as a real DSP path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for _, row in pdf.iterrows():
+                if not fake_decode:  # pragma: no cover - requires audio libs
+                    raise NotImplementedError("audio codec not installed")
+                b = bytes(row["payload"])
+                dur = int(row["meta"]["duration_ms"])
+                rms = (sum(x * x for x in b) / len(b)) ** 0.5 / 255.0 if b else 0.0
+                step = max(len(b) // feature_dim, 1)
+                bands = [
+                    round(sum(b[i : i + step]) / (255.0 * max(len(b[i : i + step]), 1)), 6)
+                    for i in range(0, step * feature_dim, step)
+                ][:feature_dim]
+                bands += [0.0] * (feature_dim - len(bands))
+                recs.append((int(row["media_id"]), dur, round(rms, 6), bands))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "duration_ms", "rms", "feature"]
+            )
+
+    audio = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "meta"
+    )
+    return audio.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 500, fake_decode: bool = True
 ) -> DataFrame:

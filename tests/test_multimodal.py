@@ -46,6 +46,35 @@ def test_frame_sampling_fanout(spark):
         assert per_media[mid] == len(range(0, dur, 500))
 
 
+def test_resize_images_shapes(spark):
+    from stackai_vector_db_spark.operators.multimodal import make_fake_media, resize_images
+
+    media = make_fake_media(spark, n=12)
+    out = resize_images(media, width=16, height=16).collect()
+    assert len(out) == 4  # every 3rd is an image
+    assert all(r.width == 16 and r.height == 16 for r in out)
+    assert all(0 < len(bytes(r.payload)) <= 16 * 16 // 64 for r in out)
+    # determinism
+    again = resize_images(make_fake_media(spark, n=12), width=16, height=16).collect()
+    assert sorted(bytes(r.payload) for r in out) == sorted(
+        bytes(r.payload) for r in again
+    )
+
+
+def test_audio_features_shapes(spark):
+    from stackai_vector_db_spark.operators.multimodal import (
+        extract_audio_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=12)
+    out = extract_audio_features(media, feature_dim=6).collect()
+    assert len(out) == 4  # every 3rd+1 is audio
+    assert all(len(r.feature) == 6 for r in out)
+    assert all(0.0 <= r.rms <= 1.0 for r in out)
+    assert all(r.duration_ms >= 1000 for r in out)
+
+
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\xff\xd8")
