@@ -1,0 +1,101 @@
+"""Scale probe: measure the engine's kNN strategies on synthetic data well
+beyond the fixture sizes (default 200k × 64-dim, ~100× the sf0.1
+embeddings table). Prints one JSON line per configuration.
+
+The pseudo-random vectors are generated JVM-side (hash-mixed sequence →
+uniform floats), so generation is parallel and deterministic — no driver
+materialization.
+
+Usage: python tools/scale_probe.py [n_vectors] [dim]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stackai_vector_db_spark.session import get_spark  # noqa: E402
+from stackai_vector_db_spark.operators.knn import brute_force_topk  # noqa: E402
+from stackai_vector_db_spark.operators.ivf import (  # noqa: E402
+    assign_clusters,
+    ivf_search,
+    label_mean_centroids,
+)
+
+
+def synth_vectors(spark, n: int, dim: int, partitions: int):
+    """Deterministic pseudo-random vectors: component = mixed-hash of
+    (id, i) scaled to [-0.5, 0.5); label = id mod 16 (for centroid
+    grouping)."""
+    return (
+        spark.range(0, n, 1, partitions)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    ((F.col("id") * 2654435761 + (i + 1) * 40503) % 100003)
+                ).cast("double")
+                / 100003.0
+                - 0.5,
+            ).alias("embedding"),
+            (F.col("id") % 16).cast("int").alias("label"),
+        )
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    k, nq = 10, 8
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+
+    vecs = synth_vectors(spark, n, dim, par).persist()
+    vecs.count()  # materialize
+    # Warm Python workers so strategy timings are comparable.
+    spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
+
+    q = vecs.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    results = {}
+    for strategy in ("window", "prereduce"):
+        t0 = time.perf_counter()
+        out = brute_force_topk(q, vecs, k, strategy=strategy)
+        rows = out.count()
+        results[f"knn_{strategy}_s"] = round(time.perf_counter() - t0, 3)
+        assert rows == nq * k
+
+    t0 = time.perf_counter()
+    cents = label_mean_centroids(vecs).persist()
+    cents.count()
+    assigned = vecs.join(
+        assign_clusters(vecs, cents).select("vec_id", "cluster_id"), "vec_id"
+    ).persist()
+    assigned.count()
+    results["ivf_build_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    rows = ivf_search(q, assigned, cents, k, nprobe=2).count()
+    results["ivf_search_np2_s"] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {"metric": "scale_probe", "n": n, "dim": dim, "queries": nq, **results}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
