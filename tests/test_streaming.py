@@ -94,6 +94,82 @@ def test_stateful_running_totals_matches_batch(spark):
     assert _rows(latest, cols) == _rows(batch, cols)
 
 
+def _files_stream(spark, tmp, batches, transform_fn):
+    """Write one parquet file per batch and stream them one-per-trigger so
+    state (watermark, dedup) must carry across micro-batches. File mtimes
+    are spaced to fix processing order."""
+    import os
+    import time as _time
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    for i, rows in enumerate(batches):
+        path = f"{tmp}/in/b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        stamp = _time.time() - (len(batches) - i) * 10
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/*")
+    )
+    return transform_fn(src)
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Append-mode windowed agg: the watermark advances between
+    micro-batches; a row for an already-finalized window arriving after
+    that must be dropped — the real late-data contract (not observable in
+    single-batch runs)."""
+    import datetime as dt
+    import pyspark.sql.functions as SF
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    # The effective filtering watermark lags the reported one by a batch
+    # (it is committed state from N-1), so the late row arrives two batches
+    # after the watermark-advancing row.
+    b0 = [(1, t(0), 1, 1.0), (2, t(5), 1, 1.0)]               # window 10:00
+    b1 = [(3, dt.datetime(2024, 1, 1, 11, 59), 1, 1.0)]       # advances WM to 11:49
+    b2 = [(5, dt.datetime(2024, 1, 1, 12, 5), 1, 1.0)]        # WM takes effect
+    b3 = [(4, t(7), 1, 1.0)]                                  # late for 10:00 → drop
+
+    agg = _files_stream(
+        spark, str(tmp_path), [b0, b1, b2, b3],
+        lambda src: (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(SF.window("ts", "10 minutes").alias("w"))
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .select(SF.unix_millis("w.start").alias("w_ms"), "n")
+        ),
+    )
+    out = run_finite(agg, "t_late", "append")
+    win_10_00 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp() * 1000
+    counts = {r.w_ms: r.n for r in out.collect()}
+    # the finalized 10:00 window holds only the 2 on-time rows; the late
+    # event_id=4 (10:07, behind the watermark by then) was dropped
+    assert counts.get(int(win_10_00)) == 2
+
+
+def test_dedup_state_survives_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must suppress a duplicate event_id
+    arriving in a LATER micro-batch (state carried in the state store)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    batch_a = [(1, t(0), 1, 1.0), (2, t(1), 1, 1.0)]
+    batch_b = [(1, t(2), 1, 1.0), (3, t(3), 1, 1.0)]  # id 1 is a dup
+
+    dedup = _files_stream(
+        spark, str(tmp_path), [batch_a, batch_b],
+        lambda src: src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ),
+    )
+    out = run_finite(dedup.select("event_id"), "t_dedup2", "append")
+    assert sorted(r.event_id for r in out.collect()) == [1, 2, 3]
+
+
 def test_incremental_index_stream(spark):
     """Streaming J3: file-arrival vectors assigned to static centroids must
     reproduce the batch assignment exactly (reference ivf.py:168-196)."""
