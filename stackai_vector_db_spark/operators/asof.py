@@ -1,5 +1,9 @@
 """As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
 
+No reference counterpart (the reference has no joins beyond the hard-coded
+shapes in SURVEY.md §2.3) — this is a north-star extension; correctness is
+anchored to DuckDB's native ASOF JOIN via q_asof_join's oracle.
+
 ``asof_join_backward(left, right, key, ts)`` matches every left row to the
 most recent right row with ``right.ts <= left.ts`` for the same key (the
 time-series/point-in-time lookup: trades→quotes, events→latest snapshot).

@@ -1,5 +1,8 @@
 """Banded range join — point-in-interval joins without the cross join.
 
+No reference counterpart (north-star extension); oracle-checked by
+q_range_join against the naive inequality join in DuckDB.
+
 Spark plans a non-equi predicate like ``b.lo <= x AND x < b.hi`` as a
 broadcast-nested-loop (or cartesian) join: every point is tested against
 every interval — O(N·M), the classic range-join trap.

@@ -1,5 +1,10 @@
 """Hypertable-style continuous aggregate: rollup table + raw tail merge.
 
+No reference counterpart (north-star extension). The nearest reference
+analog is the dirty-counter + lazy-rebuild policy
+(app/services/index_service.py:88-97) — both are
+recompute-only-what-changed disciplines; here applied to time buckets.
+
 The TimescaleDB/warehouse pattern for time-series aggregation at scale:
 instead of re-scanning all history per query, maintain a materialized
 per-bucket rollup up to a high-water mark, and answer queries as
