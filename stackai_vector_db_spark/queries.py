@@ -1493,6 +1493,48 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sample_hash",
+    oracle="""
+    SELECT lang, count(*)::BIGINT AS n
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 20
+    GROUP BY lang
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample by id-hash — the reproducible-sampling
+    primitive for training-data pipelines (same rows selected on every
+    engine and every run, unlike rand()-based sampling; the mod-arithmetic
+    hash is oracle-reproducible where murmur3 would not be)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter((F.col("doc_id") * F.lit(2654435761)) % 100 < 20)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 2^d grouping sets in one
+    pass (the expand-operator form; partial aggregation still applies)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@register(
     "q_top_terms",
     oracle=f"""
     WITH toks AS (
