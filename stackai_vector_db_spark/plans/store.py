@@ -42,7 +42,8 @@ from stackai_vector_db_spark.operators.knn import brute_force_topk
 
 CHUNK_SCHEMA = (
     "chunk_id long, document_id long, library_id long, text string, "
-    "embedding array<float>, start_index int, end_index int"
+    "embedding array<float>, start_index int, end_index int, "
+    "similarity_threshold float"
 )
 
 DEFAULT_DIM = 16
@@ -92,6 +93,10 @@ class VectorStore:
     def ingest_chunks(self, rows: DataFrame, compute_embedding: bool = True) -> int:
         """Validate (P7), default end_index (F6), optionally eager-embed
         (F3), write the next chunks version, bump dirty counters."""
+        if "similarity_threshold" not in rows.columns:
+            rows = rows.withColumn(
+                "similarity_threshold", F.lit(None).cast("float")
+            )
         validated = (
             rows.filter(F.length(F.trim(F.col("text"))) > 0)
             .withColumn(
@@ -333,10 +338,23 @@ class VectorStore:
         hits = brute_force_topk(
             q, cand, k, id_col="chunk_id", vec_col="embedding"
         ).withColumnRenamed("vec_id", "chunk_id")
+        return self._hydrate_and_threshold(hits, idx)
+
+    def _hydrate_and_threshold(self, hits: DataFrame, idx: DataFrame) -> DataFrame:
+        """J1 hydration + P6 per-chunk similarity_threshold post-filter
+        (reference ``search_service.py:156-191``): a hit is dropped only
+        when its chunk carries a threshold AND the distance exceeds it —
+        null threshold keeps the row (the three-valued-logic trap from
+        SURVEY.md §7.3, encoded explicitly)."""
+        payload = idx.select(
+            "chunk_id", "document_id", "library_id", "text", "similarity_threshold"
+        )
         return (
             F.broadcast(hits)
-            .join(
-                idx.select("chunk_id", "document_id", "library_id", "text"), "chunk_id"
+            .join(payload, "chunk_id")
+            .filter(
+                F.col("similarity_threshold").isNull()
+                | (F.col("dist") <= F.col("similarity_threshold"))
             )
             .select("qid", "chunk_id", "document_id", "dist", "rank", "text")
         )
@@ -368,13 +386,7 @@ class VectorStore:
         hits = brute_force_topk(
             q, cand, k, id_col="chunk_id", vec_col="embedding"
         ).withColumnRenamed("vec_id", "chunk_id")
-        return (
-            F.broadcast(hits)
-            .join(
-                idx.select("chunk_id", "document_id", "library_id", "text"), "chunk_id"
-            )
-            .select("qid", "chunk_id", "document_id", "dist", "rank", "text")
-        )
+        return self._hydrate_and_threshold(hits, idx)
 
     def index_status(self, library_id: int) -> dict:
         """IndexStatus analog (reference ``index_service.py:285-302``):

@@ -142,6 +142,29 @@ def test_library_crud_and_cascade(spark, store):
     assert store.read_chunks().filter(F.col("library_id") == 2).count() == 20
 
 
+def test_similarity_threshold_post_filter(spark, store):
+    """P6 (reference search_service.py:187-191): a chunk carrying a
+    similarity_threshold is dropped when its distance exceeds it; null
+    threshold keeps the row."""
+    rows = spark.createDataFrame(
+        [
+            (1, 0, 1, "alpha beta gamma delta words", None, 0, None, None),
+            (2, 0, 1, "totally different content here now", None, 0, None, 0.0001),
+            (3, 0, 1, "alpha beta gamma delta words", None, 0, None, 9.9),
+        ],
+        "chunk_id long, document_id long, library_id long, text string, "
+        "embedding array<float>, start_index int, end_index int, "
+        "similarity_threshold float",
+    )
+    store.ingest_chunks(rows)
+    store.build_index(1, n_clusters=1)
+    hits = store.search_text(1, "alpha beta gamma delta words", k=3).collect()
+    ids = {r["chunk_id"] for r in hits}
+    # chunk 1 (null thr, dist 0) and chunk 3 (thr 9.9 ≥ dist) survive;
+    # chunk 2's tight threshold kills its non-zero distance
+    assert ids == {1, 3}
+
+
 def test_update_chunk_copy_on_write(spark, store):
     store.ingest_chunks(_chunk_rows(spark, 10))
     v1 = store.versions()["chunks"]
