@@ -1,0 +1,84 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API): a
+deterministic synthetic document corpus readable as
+
+    spark.read.format("fake_corpus").option("n", 1000).load()
+
+This is the engine's demonstration of the pluggable source surface
+(SURVEY.md §2.1 S4/S5): schema declaration, option handling, and
+partition-parallel generation all live in the source, so Spark plans it
+like any other scan (one task per partition, no driver materialization).
+Text content mirrors the fixture documents' word-salad shape and is a pure
+function of (doc_id), so downstream fake embeddings are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_WORDS = (
+    "data spark vector index cluster query embed chunk library document "
+    "search batch stream shuffle partition broadcast window filter join"
+).split()
+
+_LANGS = ("en", "es", "zh", "de", "fr")
+
+
+def _doc_text(doc_id: int) -> str:
+    n_words = 8 + (doc_id * 7919) % 25
+    return " ".join(
+        _WORDS[(doc_id * 31 + j * 2654435761) % len(_WORDS)] for j in range(n_words)
+    )
+
+
+class FakeCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = max(-(-self.n // self.parts), 1)  # ceil division
+        bounds = list(range(0, self.n, step)) + [self.n]
+        return [
+            InputPartition((lo, hi)) for lo, hi in zip(bounds, bounds[1:])
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for doc_id in range(lo, hi):
+            yield (
+                doc_id,
+                _doc_text(doc_id),
+                _LANGS[doc_id % len(_LANGS)],
+                f"src{doc_id % 20}",
+            )
+
+
+class FakeCorpusDataSource(DataSource):
+    """``format("fake_corpus")`` — options: n (rows), partitions."""
+
+    @classmethod
+    def name(cls):
+        return "fake_corpus"
+
+    def schema(self):
+        return StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("lang", StringType()),
+                StructField("source", StringType()),
+            ]
+        )
+
+    def reader(self, schema):
+        return FakeCorpusReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(FakeCorpusDataSource)

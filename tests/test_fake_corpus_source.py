@@ -1,0 +1,35 @@
+"""Custom Python DataSource tests: registration, option handling,
+partition parallelism, determinism, and end-to-end embed over the source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stackai_vector_db_spark.sources.fake_corpus import register
+
+
+def test_read_with_options(spark):
+    register(spark)
+    df = spark.read.format("fake_corpus").option("n", 250).option("partitions", 4).load()
+    assert df.count() == 250
+    assert df.columns == ["doc_id", "text", "lang", "source"]
+    assert df.rdd.getNumPartitions() == 4
+    assert df.select("lang").distinct().count() == 5
+
+
+def test_deterministic_across_reads(spark):
+    register(spark)
+    a = spark.read.format("fake_corpus").option("n", 50).load().collect()
+    b = spark.read.format("fake_corpus").option("n", 50).load().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embed_pipeline_over_custom_source(spark):
+    from stackai_vector_db_spark.functions.vector import add_fake_embedding
+
+    register(spark)
+    df = spark.read.format("fake_corpus").option("n", 40).load()
+    out = add_fake_embedding(df, "text", 8, "emb")
+    rows = out.select("doc_id", "emb").collect()
+    assert len(rows) == 40
+    assert all(len(r.emb) == 8 for r in rows)
