@@ -30,9 +30,24 @@ _LANGS = ("en", "es", "zh", "de", "fr")
 
 
 def _doc_text(doc_id: int) -> str:
-    n_words = 8 + (doc_id * 7919) % 25
+    """Word-salad text, unique per doc_id (the mixed seed has period
+    1,000,003 so word sequences don't repeat at any realistic n), except a
+    planted ~3% near-duplicate fraction: doc_ids ending 97-99 reuse the
+    text of the block's base doc with a short suffix — ground truth for
+    dedup probes."""
+    if doc_id % 100 >= 97:
+        return _doc_text(doc_id - doc_id % 100) + " trailing extra tokens"
+    seed = (doc_id * 2654435761) % 1000003
+    n_words = 8 + seed % 25
+    # Vocabulary must be LARGE relative to doc length or random docs
+    # genuinely near-duplicate each other (20 real words × 8-32-word docs
+    # gave random pairs a median 3-shingle jaccard of 0.2 — measured, not
+    # hypothetical). Mix a real word with a 10k-id suffix: readable, and
+    # random-pair overlap collapses to ~0 while planted dups stay detectable.
     return " ".join(
-        _WORDS[(doc_id * 31 + j * 2654435761) % len(_WORDS)] for j in range(n_words)
+        f"{_WORDS[m % len(_WORDS)]}{m % 9973}"
+        for j in range(n_words)
+        for m in [(seed * 31 + j) * 2654435761 % 1000003]
     )
 
 

@@ -89,6 +89,26 @@ def main() -> None:
     rows = ivf_search(q, assigned, cents, k, nprobe=2).count()
     results["ivf_search_np2_s"] = round(time.perf_counter() - t0, 3)
 
+    # Dedup probe: MinHash-LSH over synthetic docs from the custom source
+    # (n/4 docs ≈ 10-50× the fixture corpus; near-dups exist by construction
+    # since the generator's word patterns repeat with period len(_WORDS)).
+    from stackai_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from stackai_vector_db_spark.sources.fake_corpus import register
+
+    register(spark)
+    ndocs = max(n // 4, 1000)
+    docs = (
+        spark.read.format("fake_corpus")
+        .option("n", ndocs)
+        .option("partitions", par)
+        .load()
+    )
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).count()
+    results["minhash_lsh_s"] = round(time.perf_counter() - t0, 3)
+    results["minhash_docs"] = ndocs
+    results["minhash_pairs"] = pairs
+
     print(
         json.dumps(
             {"metric": "scale_probe", "n": n, "dim": dim, "queries": nq, **results}
