@@ -13,7 +13,12 @@ function of (doc_id), so downstream fake embeddings are reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -74,8 +79,40 @@ class FakeCorpusReader(DataSourceReader):
             )
 
 
+class FakeCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: each micro-batch emits the next ``batch_size`` docs
+    (offset = next doc_id, checkpointable); an ``n`` option bounds the
+    stream for finite tests, otherwise it is unbounded."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("batch_size", 100))
+        self.limit = int(options.get("n", 0))  # 0 → unbounded
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = lo + self.batch
+        if self.limit:
+            hi = min(hi, self.limit)
+        rows = [
+            (i, _doc_text(i), _LANGS[i % len(_LANGS)], f"src{i % 20}")
+            for i in range(lo, hi)
+        ]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        rows = [
+            (i, _doc_text(i), _LANGS[i % len(_LANGS)], f"src{i % 20}")
+            for i in range(start["next"], end["next"])
+        ]
+        return iter(rows)
+
+
 class FakeCorpusDataSource(DataSource):
-    """``format("fake_corpus")`` — options: n (rows), partitions."""
+    """``format("fake_corpus")`` — batch options: n (rows), partitions;
+    stream options: batch_size, n (bound)."""
 
     @classmethod
     def name(cls):
@@ -93,6 +130,9 @@ class FakeCorpusDataSource(DataSource):
 
     def reader(self, schema):
         return FakeCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return FakeCorpusStreamReader(self.options)
 
 
 def register(spark) -> None:

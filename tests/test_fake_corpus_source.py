@@ -33,3 +33,38 @@ def test_embed_pipeline_over_custom_source(spark):
     rows = out.select("doc_id", "emb").collect()
     assert len(rows) == 40
     assert all(len(r.emb) == 8 for r in rows)
+
+
+def test_streaming_reader_matches_batch(spark, tmp_path):
+    """readStream over the custom source: micro-batched offsets must
+    reproduce exactly the batch read's rows (one source, two modes)."""
+    register(spark)
+    stream = (
+        spark.readStream.format("fake_corpus")
+        .option("n", 120)
+        .option("batch_size", 50)
+        .load()
+    )
+    import time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_corpus_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    # a simple stream reader advances one offset-window per trigger; poll
+    # until the bounded stream (n=120) has fully drained, then stop.
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("t_corpus_stream").count() >= 120:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(map(tuple, spark.table("t_corpus_stream").collect()))
+    want = sorted(
+        map(tuple, spark.read.format("fake_corpus").option("n", 120).load().collect())
+    )
+    assert got == want
