@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from stackai_vector_db_spark.operators.knn import Metric, ROUND, brute_force_topk, distance_col
+from stackai_vector_db_spark.operators.knn import Metric, ROUND, distance_col
 
 
 def label_mean_centroids(vectors: DataFrame, label_col: str = "label",

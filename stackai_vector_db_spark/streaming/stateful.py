@@ -15,7 +15,7 @@ tests/test_streaming.py (final state == batch groupBy aggregate).
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 

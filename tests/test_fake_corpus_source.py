@@ -3,8 +3,6 @@ partition parallelism, determinism, and end-to-end embed over the source."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from stackai_vector_db_spark.sources.fake_corpus import register
 
 

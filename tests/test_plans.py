@@ -5,8 +5,6 @@ silently de-optimizes a plan, these fail before any benchmark notices."""
 
 from __future__ import annotations
 
-import pytest
-
 from tests.conftest import SF_DIR
 from tools.explain_audit import audit
 from stackai_vector_db_spark.queries import REGISTRY

@@ -9,7 +9,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pytest
 from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import functions as F

@@ -8,8 +8,6 @@ import json
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from stackai_vector_db_spark.sources.embedding_client import (
     FakeEmbeddingSource,
     HttpEmbeddingSource,

@@ -6,8 +6,6 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from stackai_vector_db_spark.catalog import load_table
