@@ -34,16 +34,24 @@ def banded_range_join(
     """Join rows of ``points`` to rows of ``intervals`` where
     ``lo <= point < hi`` via bucket equi-join + exact refine."""
     w = float(bucket_width)
+    lo_bucket = F.floor(F.col(lo_col) / w).cast("long")
+    # hi is exclusive: when hi sits exactly on a bucket boundary the last
+    # covered bucket is the previous one; otherwise floor(hi/w). An
+    # epsilon-subtraction here is WRONG — an interval whose tail inside its
+    # last bucket is smaller than the epsilon loses that bucket entirely
+    # (caught by hypothesis with hi ≈ 1.2e-38). Exact boundary test only
+    # ever errs toward including a harmless extra bucket that the refine
+    # filter discards.
+    hi_over_w = F.col(hi_col) / w
+    hi_bucket = F.when(
+        F.floor(hi_over_w) * w == F.col(hi_col),
+        F.floor(hi_over_w).cast("long") - 1,
+    ).otherwise(F.floor(hi_over_w).cast("long"))
+    # greatest(): an empty interval (lo == hi) must not explode a
+    # descending sequence into spurious buckets.
     exploded = intervals.withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w).cast("long"),
-                # hi is exclusive: the last covered bucket is the one
-                # containing the largest value strictly below hi.
-                F.floor((F.col(hi_col) - F.lit(1e-9)) / w).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(lo_bucket, F.greatest(hi_bucket, lo_bucket))),
     )
     bucketed = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / w).cast("long")

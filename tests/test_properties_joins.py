@@ -4,7 +4,7 @@ negatives, empties, and bucket-boundary values included."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -72,6 +72,10 @@ interval = st.tuples(pt, pt).map(lambda ab: (min(ab), max(ab)))
     st.lists(interval, min_size=1, max_size=6),
     st.sampled_from([1.0, 3.7, 8.0]),
 )
+# regression: an interval whose tail inside its last bucket is below the
+# old epsilon (1e-9) lost that bucket — found by hypothesis, fixed with
+# exact boundary arithmetic in banded_range_join
+@example([0.0], [(-1.0, 1.1754943508222875e-38)], 1.0)
 def test_banded_range_join_matches_naive(spark, points, intervals, width):
     pdf = spark.createDataFrame([(float(x),) for x in points], "x double")
     idf = spark.createDataFrame(
