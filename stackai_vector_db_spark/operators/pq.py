@@ -1,0 +1,235 @@
+"""Product Quantization (PQ) — compressed vectors + asymmetric-distance search.
+
+No reference counterpart (extension operator): the reference stores raw
+float32 vectors and caps at 10k chunks/library (``app/core/config.py:48``);
+at 100 TB the vector payload itself is the bottleneck (1024-dim float32 =
+4 KB/row). PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011) splits each D-dim vector into M subspaces,
+k-means-quantizes each subspace to one of K codes, and stores M small ints
+per vector — a D·4/M-byte → M-byte compression (e.g. 64× for D=1024, M=64,
+K=256). Search uses the Asymmetric Distance Computation (ADC) trick: per
+query, precompute an M×K lookup table of exact subspace distances, then a
+vector's approximate distance is a sum of M table lookups — no float vector
+ever read at query time.
+
+Spark decomposition (the scale story):
+
+- **train**: codebooks are tiny (M·K·D/M floats) and training needs only a
+  bounded sample — the standard practice (FAISS trains on ~100k-1M samples
+  regardless of corpus size). We take a *deterministic* hash-sample, pull it
+  to the driver, and run seeded Lloyd iterations in numpy. Train cost is
+  O(sample); independent of corpus size.
+- **encode**: embarrassingly parallel `mapInPandas` — each Arrow batch
+  argmin's B×K subspace distances per subspace. Scales linearly, no shuffle.
+- **search**: the codes table (M bytes/row instead of 4 KB/row) is the only
+  thing scanned; ADC in a vectorized per-partition kernel emits local top-k
+  per query, and the exact final window ranks Q·k·P survivors — same
+  prereduce shape as ``operators/knn.py``.
+
+Determinism: sampling is id-hash based, k-means init is a seeded
+permutation, argmin ties resolve to the lowest code index, distances round
+to 6 decimals before ranking with id tie-breaks — repeated runs produce
+identical codes and identical rankings (rows-only driver check stays
+stable; recall is tested against exact kNN in ``tests/test_pq.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from stackai_vector_db_spark.operators.knn import _rank_topk
+
+ROUND = 6
+
+
+def train_pq(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 25,
+    sample_cap: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on a deterministic bounded sample.
+
+    Returns ``codebooks`` of shape (m, n_codes, d_sub) float64. The sample is
+    chosen by id-hash (stable across runs and partitionings) and capped at
+    ``sample_cap`` rows by smallest id — train cost never grows with the
+    corpus.
+    """
+    total = vectors.count()
+    if total == 0:
+        raise ValueError("cannot train PQ on an empty vector table")
+    # Deterministic hash-sample targeting ~2x the cap, then exact cap by id.
+    pct = min(100, max(1, int(200 * sample_cap / total))) if total > sample_cap else 100
+    sample = vectors.select(id_col, vec_col)
+    if pct < 100:
+        sample = sample.filter(F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(100)) < pct)
+    rows = sample.orderBy(id_col).limit(sample_cap).collect()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)  # S × D
+    d = mat.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    k = min(n_codes, mat.shape[0])
+    rng = np.random.default_rng(seed)
+    codebooks = np.empty((m, k, d_sub), dtype=np.float64)
+    for sub in range(m):
+        x = mat[:, sub * d_sub : (sub + 1) * d_sub]
+        codebooks[sub] = _lloyd(x, k, rng, max_iter)
+    return codebooks
+
+
+def _lloyd(x: np.ndarray, k: int, rng: np.random.Generator, max_iter: int) -> np.ndarray:
+    """Seeded Lloyd k-means; empty clusters keep their previous centroid."""
+    init_idx = rng.choice(x.shape[0], size=k, replace=False)
+    cents = x[np.sort(init_idx)].copy()
+    for _ in range(max_iter):
+        d2 = _sq_dists(x, cents)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < 1e-9:
+            break
+    return cents
+
+
+def _sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    return (
+        (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+    )
+
+
+def codebooks_to_df(spark: SparkSession, codebooks: np.ndarray) -> DataFrame:
+    """Codebooks as a (sub, code, centroid) DataFrame for parquet persistence."""
+    rows = [
+        (int(sub), int(code), [float(v) for v in codebooks[sub, code]])
+        for sub in range(codebooks.shape[0])
+        for code in range(codebooks.shape[1])
+    ]
+    return spark.createDataFrame(rows, "sub int, code int, centroid array<double>")
+
+
+def df_to_codebooks(df: DataFrame) -> np.ndarray:
+    rows = df.orderBy("sub", "code").collect()
+    m = rows[-1]["sub"] + 1
+    k = rows[-1]["code"] + 1
+    d_sub = len(rows[0]["centroid"])
+    out = np.empty((m, k, d_sub), dtype=np.float64)
+    for r in rows:
+        out[r["sub"], r["code"]] = r["centroid"]
+    return out
+
+
+def encode_pq(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to M-code arrays — distributed, shuffle-free.
+
+    Output: ``vec_id long, codes array<int>``. Argmin ties resolve to the
+    lowest code index (numpy argmin contract) — deterministic.
+    """
+    m, _, d_sub = codebooks.shape
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((vmat.shape[0], m), dtype=np.int32)
+            for sub in range(m):
+                x = vmat[:, sub * d_sub : (sub + 1) * d_sub]
+                codes[:, sub] = _sq_dists(x, codebooks[sub]).argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(dtype=np.int64), "codes": list(codes)}
+            )
+
+    return vectors.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(part, schema="vec_id long, codes array<int>")
+
+
+def adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation over PQ codes.
+
+    Per query: an M×K lookup table of exact subspace squared distances is
+    built once; each row's approximate squared distance is the sum of M
+    table lookups on its codes. Per-partition local top-k (numpy) then an
+    exact global window — only Q·k·P rows shuffle, and the scan side reads
+    the codes table only (M ints/row), never the raw vectors.
+
+    Returns ``qid, vec_id, dist (double, rounded), rank`` — same shape as
+    ``brute_force_topk`` so recall is directly comparable.
+    """
+    m, n_k, d_sub = codebooks.shape
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # Q × D
+    # LUTs: Q × M × K exact subspace squared distances.
+    luts = np.empty((qmat.shape[0], m, n_k), dtype=np.float64)
+    for sub in range(m):
+        qsub = qmat[:, sub * d_sub : (sub + 1) * d_sub]
+        luts[:, sub, :] = _sq_dists(qsub, codebooks[sub])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # B × M
+            kk = min(k, cmat.shape[0])
+            out_q, out_v, out_d = [], [], []
+            for qi in range(qmat.shape[0]):
+                # gather: for each row, sum LUT[sub, codes[row, sub]] over sub
+                d2 = luts[qi][sub_idx[None, :], cmat].sum(axis=1)  # B
+                dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
+                order = np.lexsort((vids, dists))[:kk]
+                out_q.append(np.full(kk, qids[qi]))
+                out_v.append(vids[order])
+                out_d.append(dists[order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    reduced = codes.select("vec_id", "codes").mapInPandas(
+        part, schema="qid long, vec_id long, dist double"
+    )
+    return _rank_topk(reduced, k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """Fraction of exact top-k ids recovered by the approximate top-k."""
+    hits = approx.filter(F.col("rank") <= k).select("qid", "vec_id")
+    truth = exact.filter(F.col("rank") <= k).select("qid", "vec_id")
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1.0
+    n_hit = truth.join(hits, ["qid", "vec_id"], "inner").count()
+    return n_hit / n_truth

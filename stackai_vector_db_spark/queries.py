@@ -820,6 +820,25 @@ def q_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register("q_pq_adc_topk", oracle=None)  # ⚠ rows-only: trained codebooks are not SQL
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (no reference counterpart): product-quantized ANN via
+    asymmetric distance computation — 32× vector compression (m=8 int8
+    codes for dim-64 float32), codes-only scan at query time. Deterministic
+    end-to-end (seeded train, id tie-breaks) so the rows-only check is
+    stable; recall vs exact kNN is tested in tests/test_pq.py."""
+    from stackai_vector_db_spark.operators import pq as pq_ops
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks = pq_ops.train_pq(emb, m=8, n_codes=64, seed=42)
+    codes = pq_ops.encode_pq(emb, codebooks)
+    qrows = emb.orderBy("vec_id").limit(4).collect()
+    q = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    )
+    return pq_ops.adc_topk(q, codes, codebooks, k=10)
+
+
 # ---------------------------------------------------------------------------
 # M5 extensions — relational (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------

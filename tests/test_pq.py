@@ -1,0 +1,113 @@
+"""Product-quantization operator tests (extension — no reference counterpart;
+the reference caps at raw float32 in memory, app/core/config.py:48).
+
+Mirrors the reference's test principle "linear scan is the exactness
+baseline" (README.md:283): ADC quality is measured as recall against
+``brute_force_topk`` on the same table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stackai_vector_db_spark.catalog import load_table
+from stackai_vector_db_spark.operators.knn import brute_force_topk
+from stackai_vector_db_spark.operators.pq import (
+    adc_topk,
+    codebooks_to_df,
+    df_to_codebooks,
+    encode_pq,
+    recall_at_k,
+    train_pq,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").cache()
+
+
+@pytest.fixture(scope="module")
+def codebooks(spark, emb):
+    return train_pq(emb, m=8, n_codes=256, seed=42)
+
+
+def test_train_shapes(codebooks, emb):
+    dim = len(emb.first()["embedding"])
+    m, k, d_sub = codebooks.shape
+    assert (m, d_sub) == (8, dim // 8)
+    assert k == 256
+    assert np.isfinite(codebooks).all()
+
+
+def test_train_deterministic(emb):
+    a = train_pq(emb, m=4, n_codes=8, seed=42, max_iter=5)
+    b = train_pq(emb, m=4, n_codes=8, seed=42, max_iter=5)
+    assert np.array_equal(a, b)
+
+
+def test_encode_codes_in_range_and_deterministic(spark, emb, codebooks):
+    codes = encode_pq(emb, codebooks)
+    rows = codes.orderBy("vec_id").collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 256 for c in r["codes"])
+    rows2 = encode_pq(emb.repartition(7), codebooks).orderBy("vec_id").collect()
+    assert [r["codes"] for r in rows] == [r["codes"] for r in rows2]
+
+
+def test_codebook_roundtrip(spark, codebooks):
+    df = codebooks_to_df(spark, codebooks)
+    back = df_to_codebooks(df)
+    assert np.allclose(codebooks, back)
+
+
+def test_adc_self_query_exact_when_codes_cover_points(spark):
+    """If every distinct subvector is its own centroid, ADC is exact."""
+    vecs = [(i, [float(i % 4), float((i * 3) % 4)]) for i in range(8)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cb = train_pq(vdf, m=2, n_codes=8, seed=1, max_iter=50)
+    codes = encode_pq(vdf, cb)
+    q = spark.createDataFrame([(0, [0.0, 0.0])], "qid long, qvec array<float>")
+    approx = adc_topk(q, codes, cb, k=8).collect()
+    exact = brute_force_topk(q, vdf, k=8).collect()
+    ad = {r["vec_id"]: r["dist"] for r in approx}
+    ed = {r["vec_id"]: r["dist"] for r in exact}
+    for vid, d in ed.items():
+        assert ad[vid] == pytest.approx(d, abs=1e-5)
+
+
+def test_adc_recall_floor(spark, emb, codebooks):
+    """ADC top-30 recall of exact top-10 >= 0.85 on the fixture table (dim 64,
+    m=8 -> 8-dim subspaces, 256 codes = 32x compression)."""
+    qrows = emb.orderBy("vec_id").limit(4).collect()
+    q = spark.createDataFrame(
+        [(i, r["embedding"]) for i, r in enumerate(qrows)],
+        "qid long, qvec array<float>",
+    )
+    codes = encode_pq(emb, codebooks)
+    approx = adc_topk(q, codes, codebooks, k=30)
+    exact = brute_force_topk(q, emb, k=10)
+    # recall@30 vs exact top-10: every exact top-10 id should usually be in
+    # the approximate top-30
+    hits = exact.join(approx.select("qid", "vec_id"), ["qid", "vec_id"]).count()
+    total = exact.count()
+    assert hits / total >= 0.85
+    assert recall_at_k(approx, approx, k=30) == 1.0
+
+
+def test_self_neighbor_rank1(spark, emb, codebooks):
+    """A vector queried against its own codes ranks itself first (its code
+    reconstruction is nearest to itself in expectation)."""
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    q = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    )
+    codes = encode_pq(emb, codebooks)
+    top1 = adc_topk(q, codes, codebooks, k=5).filter("rank = 1").collect()
+    self_hits = sum(1 for r in top1 if r["qid"] == r["vec_id"])
+    assert self_hits >= 2  # allow one collision where another point shares codes
