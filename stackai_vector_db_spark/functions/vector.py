@@ -124,9 +124,80 @@ def fake_embedding(text: Column | str, dim: int) -> Column:
     return F.element_at(F.transform(props, components), 1)
 
 
-def add_fake_embedding(df, text_col: str = "text", dim: int = 16, out_col: str = "emb"):
-    """DataFrame-level convenience: ``df`` plus a fake-embedding column."""
-    return df.withColumn(out_col, fake_embedding(F.col(text_col), dim))
+def _char_sum_arrow() -> Column:
+    """Arrow-batched char-sum kernel: Σ codepoint(c) per row.
+
+    UTF-32-LE bytes *are* the codepoints, so ``np.frombuffer(...).sum()``
+    reproduces Python ``sum(map(ord, s))`` exactly — same integers as the
+    JVM ``aggregate(split(s,''), ascii)`` form, ~10× cheaper: no per-char
+    string array is materialized, and the loop is C, not codegen'd
+    string-slicing. Used by the ``arrow`` strategy of ``fake_embedding``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def cs(s):
+        return s.map(
+            lambda t: int(
+                np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).sum()
+            )
+            if t
+            else 0
+        )
+
+    # Real annotation objects (not strings): ``from __future__ import
+    # annotations`` would stringify inline hints and pandas_udf rejects those.
+    cs.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(cs, "long")
+
+
+def fake_embedding_arrow(text: Column | str, dim: int) -> Column:
+    """``fake_embedding`` with the char-sum computed by the Arrow kernel.
+
+    Value-identical to the native form (integer math is exact either way);
+    preferred when the embed is the hot path (long texts × many rows). The
+    clean/lower/word-count steps stay JVM-side so Python sees one string
+    column in, one LONG out.
+    """
+    t = _c(text) if not isinstance(text, str) else F.col(text)
+    clean = F.lower(py_trim(t))
+    cs = _char_sum_arrow()(clean)
+    length = F.length(clean).cast("long")
+    words = py_word_count(clean)
+    props = F.array(F.struct(cs.alias("cs"), length.alias("l"), words.alias("w")))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def components(p: Column) -> Column:
+        return F.transform(
+            idx,
+            lambda i: (
+                (
+                    p["cs"] * (i + 1).cast("long")
+                    + p["l"] * (i + 7).cast("long")
+                    + p["w"] * (i + 13).cast("long")
+                )
+                % 1000
+            ).cast("double")
+            / 1000.0
+            - 0.5,
+        )
+
+    return F.element_at(F.transform(props, components), 1)
+
+
+def add_fake_embedding(
+    df,
+    text_col: str = "text",
+    dim: int = 16,
+    out_col: str = "emb",
+    strategy: str = "native",
+):
+    """DataFrame-level convenience: ``df`` plus a fake-embedding column.
+
+    ``strategy="arrow"`` swaps in the Arrow char-sum kernel (identical
+    values, faster on long texts)."""
+    fn = fake_embedding_arrow if strategy == "arrow" else fake_embedding
+    return df.withColumn(out_col, fn(F.col(text_col), dim))
 
 
 def enforce_dim_consistency(vectors, vec_col: str = "embedding"):

@@ -62,8 +62,21 @@ def bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
 
 def probe_buckets_col(bucket: Column, n_planes: int) -> Column:
     """The query's bucket plus every hamming-1 neighbor (flip one plane's
-    bit) — standard multi-probe LSH."""
-    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+    bit) — standard multi-probe LSH.
+
+    The bucket expression is bound once per row via a 1-element ``transform``
+    lambda before fan-out: referencing it directly in all n_planes+1 array
+    slots would inline the full n_planes×dim dot-product tree into each slot
+    (Catalyst CollapseProject), blowing up codegen size and compile time
+    ~(n_planes+1)×."""
+    props = F.array(F.struct(bucket.alias("b")))
+
+    def fan(p: Column) -> Column:
+        return F.array(
+            p["b"], *[p["b"].bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        )
+
+    return F.element_at(F.transform(props, fan), 1)
 
 
 def ann_lsh_topk(

@@ -1870,11 +1870,24 @@ def q_embed_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-char aggregate (at 100 TB the source is already thousands of
     # files and this becomes a no-op choice).
     par = spark.sparkContext.defaultParallelism
+    # strategy="arrow": the embed is this plan's hot path — the Arrow char-sum
+    # kernel is value-identical to the native HOF form and ~2.5× faster on
+    # document-length texts (see functions/vector.py).
     embdocs = (
-        add_fake_embedding(docs.repartition(par), "text", E2E_DIM, "emb")
+        add_fake_embedding(
+            docs.repartition(par), "text", E2E_DIM, "emb", strategy="arrow"
+        )
         .select("doc_id", "lang", "source", "emb")
         .persist()
     )
+    # Materialize the cache eagerly: the kNN plan references embdocs from BOTH
+    # the broadcast (query) side and the distributed scan side of one action —
+    # with a lazy cache those two subtrees race and each computes the embed
+    # itself (measured ~2× the embed cost). One count() job fills the cache
+    # first; both sides then read it. At scale this *is* the engine's design:
+    # embeddings are a stored table (reference index_service.py:436-500), not
+    # recomputed per query.
+    embdocs.count()
     q = embdocs.filter(F.col("doc_id") < E2E_NQ).select(
         F.col("doc_id").alias("qid"), F.col("emb").alias("qvec")
     )

@@ -93,3 +93,21 @@ def test_enforce_dim_consistency(spark):
     )
     with pytest.raises(Exception, match="(?i)dimension mismatch"):
         enforce_dim_consistency(bad).count()
+
+
+def test_fake_embedding_arrow_parity(spark):
+    """The Arrow char-sum strategy is value-identical to the native HOF form
+    on the real fixture texts (multilingual: es/zh/de/fr rows included)."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.functions.vector import add_fake_embedding
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = add_fake_embedding(docs, "text", 8, "emb", strategy="native").select(
+        "doc_id", "emb"
+    )
+    b = add_fake_embedding(docs, "text", 8, "emb", strategy="arrow").select(
+        "doc_id", F.col("emb").alias("emb2")
+    )
+    assert a.join(b, "doc_id").filter(F.expr("emb <> emb2")).count() == 0
