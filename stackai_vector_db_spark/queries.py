@@ -1081,6 +1081,99 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_KEEP = 0.5
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / nullif(length(text), 0) AS praw,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> list_contains(['the','and','of','to','in'], x)))::DOUBLE AS sw_hits,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+             len(regexp_extract_all(lower(trim(text)), '[\\x{4e00}-\\x{9fff}]')) > 0 AS has_cjk
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, words,
+             round(0.4 * least(1.0, words / 50.0)
+                 + 0.4 * least(1.0, 10.0 * (CASE WHEN words = 0 THEN 0.0 ELSE sw_hits / words END))
+                 + 0.2 * (1.0 - least(1.0, 5.0 * coalesce(praw, 0.0))), 6) AS score,
+             CASE WHEN has_cjk THEN 'zh'
+                  WHEN greatest(
+                    len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))),
+                    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))),
+                    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))),
+                    len(list_filter(toks, x -> list_contains(['le','la','les','des','est'], x)))) = 0 THEN 'en'
+                  WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))) = greatest(
+                    len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))),
+                    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))),
+                    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))),
+                    len(list_filter(toks, x -> list_contains(['le','la','les','des','est'], x)))) THEN 'en'
+                  WHEN len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) = greatest(
+                    len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))),
+                    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))),
+                    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))),
+                    len(list_filter(toks, x -> list_contains(['le','la','les','des','est'], x)))) THEN 'es'
+                  WHEN len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) = greatest(
+                    len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x))),
+                    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))),
+                    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))),
+                    len(list_filter(toks, x -> list_contains(['le','la','les','des','est'], x)))) THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM t),
+    kept AS (SELECT * FROM scored WHERE score >= 0.5),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT d.lang, k.lang_pred,
+           count(*)::BIGINT AS n_docs,
+           sum(k.words)::BIGINT AS total_tokens,
+           round(avg(k.score), 6) AS avg_score
+    FROM dedup k JOIN documents d ON k.doc_id = d.doc_id
+    WHERE k.rn = 1
+    GROUP BY d.lang, k.lang_pred
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data prep flow as ONE declarative plan: lang-ID →
+    quality-score filter (keep ≥ 0.5) → exact dedup (min-id keeper per text)
+    → corpus stats per (true lang, predicted lang) — a confusion-matrix
+    style evaluation output. Composes q_lang_id + q_quality_score +
+    q_dedup_exact + q_token_count; one scan, one dedup shuffle on
+    hash(text), one partial+final agg — no operator adds a pass over the
+    corpus, which is the property that matters at 100 TB. (On this synthetic
+    fixture every lang's text is the same word distribution, so the
+    heuristic predicts 'en' throughout — the pipeline shape, not the
+    classifier, is what's under test.)"""
+    from stackai_vector_db_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count_ws,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+        token_count_ws(F.col("text")).cast("long").alias("words"),
+    ).filter(F.col("score") >= QUALITY_KEEP)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    dedup = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return dedup.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_tokens"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )
+
+
 @register(
     "q_token_count",
     oracle="""
