@@ -224,6 +224,67 @@ def adc_topk(
     return _rank_topk(reduced, k)
 
 
+def ivf_pq_search(
+    queries: DataFrame,
+    coded_vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF-PQ: probe-pruned candidate generation + ADC ranking — the
+    billion-scale ANN layout (FAISS ``IVFx,PQy``) as two joins.
+
+    ``coded_vectors`` must carry ``(vec_id, codes, cluster_id)`` — i.e. the
+    PQ-encoded table written ``partitionBy("cluster_id")`` so the probe join
+    is file pruning at scale. Per 100 TB query cost: (nprobe/C)·N rows
+    scanned × M byte-codes each — both factors independently tunable, no
+    float vector touched.
+    """
+    from stackai_vector_db_spark.operators.ivf import probe_clusters
+
+    m, n_k, d_sub = codebooks.shape
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qid_to_row = {int(r[0]): i for i, r in enumerate(qrows)}
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    luts = np.empty((qmat.shape[0], m, n_k), dtype=np.float64)
+    for sub in range(m):
+        qsub = qmat[:, sub * d_sub : (sub + 1) * d_sub]
+        luts[:, sub, :] = _sq_dists(qsub, codebooks[sub])
+
+    probes = probe_clusters(queries, centroids, nprobe, "euclidean", qid_col, qvec_col)
+    cand = coded_vectors.join(F.broadcast(probes), "cluster_id").select(
+        "qid", "vec_id", "codes"
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for qid, grp in pdf.groupby("qid"):
+                lut = luts[qid_to_row[int(qid)]]
+                cmat = np.array(list(grp["codes"]), dtype=np.int64)
+                vids = grp["vec_id"].to_numpy(dtype=np.int64)
+                d2 = lut[sub_idx[None, :], cmat].sum(axis=1)
+                dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
+                kk = min(k, len(vids))
+                order = np.lexsort((vids, dists))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": int(qid), "vec_id": vids[order], "dist": dists[order]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    reduced = cand.mapInPandas(part, schema="qid long, vec_id long, dist double")
+    return _rank_topk(reduced, k)
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     """Fraction of exact top-k ids recovered by the approximate top-k."""
     hits = approx.filter(F.col("rank") <= k).select("qid", "vec_id")

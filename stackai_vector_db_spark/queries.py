@@ -839,6 +839,23 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.adc_topk(q, codes, codebooks, k=10)
 
 
+@register("q_ivf_pq_topk", oracle=None)  # ⚠ rows-only: trained codebooks are not SQL
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: IVF-PQ — probe-pruned candidates (deterministic label-mean
+    centroids) ranked by ADC over PQ codes. The billion-scale layout:
+    (nprobe/C)·N rows × M bytes each, no float vector read at query time."""
+    from stackai_vector_db_spark.operators import pq as pq_ops
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cents = ivf_ops.label_mean_centroids(emb)
+    assigned = ivf_ops.assign_clusters(emb, cents).select("vec_id", "cluster_id")
+    codebooks = pq_ops.train_pq(emb, m=8, n_codes=64, seed=42)
+    coded = pq_ops.encode_pq(emb, codebooks).join(assigned, "vec_id")
+    return pq_ops.ivf_pq_search(
+        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # M5 extensions — relational (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------

@@ -111,3 +111,43 @@ def test_self_neighbor_rank1(spark, emb, codebooks):
     top1 = adc_topk(q, codes, codebooks, k=5).filter("rank = 1").collect()
     self_hits = sum(1 for r in top1 if r["qid"] == r["vec_id"])
     assert self_hits >= 2  # allow one collision where another point shares codes
+
+
+def test_ivf_pq_search_recall_and_subset(spark, emb, codebooks):
+    """IVF-PQ candidates come only from probed clusters; with nprobe = C the
+    result equals plain ADC (probe pruning is lossless at full probe)."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.operators.ivf import (
+        assign_clusters,
+        label_mean_centroids,
+    )
+    from stackai_vector_db_spark.operators.pq import ivf_pq_search
+
+    full = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cents = label_mean_centroids(full)
+    n_clusters = cents.count()
+    assigned = assign_clusters(full, cents).select("vec_id", "cluster_id")
+    codes = encode_pq(full, codebooks).join(assigned, "vec_id")
+    qrows = full.orderBy("vec_id").limit(3).collect()
+    q = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    )
+    # Full probe == plain ADC over everything.
+    full_probe = ivf_pq_search(q, codes, cents, codebooks, k=5, nprobe=n_clusters)
+    plain = adc_topk(q, codes, codebooks, k=5)
+    a = {(r["qid"], r["vec_id"], r["dist"]) for r in full_probe.collect()}
+    b = {(r["qid"], r["vec_id"], r["dist"]) for r in plain.collect()}
+    assert a == b
+    # nprobe=1 returns <= k rows per query from the probed cluster only.
+    one = ivf_pq_search(q, codes, cents, codebooks, k=5, nprobe=1)
+    counts = one.groupBy("qid").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+    joined = (
+        one.join(codes.select("vec_id", "cluster_id"), "vec_id")
+        .select("qid", "cluster_id")
+        .distinct()
+    )
+    assert all(r is not None for r in joined.collect())
