@@ -35,6 +35,9 @@ HEADLINE = [
     "q_ann_lsh_topk",
     "q_asof_join",
     "q_range_join",
+    "q_pq_adc_topk",
+    "q_ivf_pq_topk",
+    "q_corpus_pipeline",
 ]
 
 
