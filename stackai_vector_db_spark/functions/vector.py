@@ -50,6 +50,29 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     return F.when(norms == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) - dot / norms)
 
 
+def vector_norm(a: Column | str) -> Column:
+    """‖a‖₂ as the exact subexpression cosine_distance uses (sqrt of the
+    same DOUBLE dot-product aggregate) — for hoisting out of joins."""
+    a = _c(a)
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_distance_prenormed(
+    a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """``cosine_distance`` with the two self-norms supplied as columns.
+
+    Bit-identical to :func:`cosine_distance` (same dot aggregate, same
+    sqrt-product denominator, same zero guard) but lets a plan compute each
+    row's norm ONCE before a join instead of once per pair — higher-order
+    functions are interpreted, not codegen'd, so cutting the per-pair HOF
+    count from 3 aggregates to 1 is a ~3× win on any pairwise operator
+    (kNN cross join, similarity self-join)."""
+    a, b = _c(a), _c(b)
+    norms = _c(norm_a) * _c(norm_b)
+    return F.when(norms == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) - _dot(a, b) / norms)
+
+
 # Python's str whitespace set (chars str.strip()/str.split() treat as
 # whitespace — every codepoint where str.isspace() is True). The reference
 # uses Python semantics (embedding.py:103: text.strip().lower(), .split()),

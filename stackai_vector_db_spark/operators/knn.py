@@ -70,8 +70,28 @@ def brute_force_topk(
         reduced = _local_topk(queries, vectors, k, metric, qid_col, qvec_col, id_col, vec_col)
         return _rank_topk(reduced, k)
 
-    pairs = vectors.crossJoin(F.broadcast(queries))
-    dist = F.round(distance_col(metric, F.col(qvec_col), F.col(vec_col)), ROUND)
+    if metric == "cosine":
+        # Hoist self-norms out of the cross join: each side computes its norm
+        # once per ROW, so the per-PAIR cost drops from 3 interpreted HOF
+        # aggregates to 1 (bit-identical values — see
+        # functions.vector.cosine_distance_prenormed).
+        from stackai_vector_db_spark.functions.vector import (
+            cosine_distance_prenormed,
+            vector_norm,
+        )
+
+        qn = queries.withColumn("__qnorm", vector_norm(F.col(qvec_col)))
+        vn = vectors.withColumn("__vnorm", vector_norm(F.col(vec_col)))
+        pairs = vn.crossJoin(F.broadcast(qn))
+        dist = F.round(
+            cosine_distance_prenormed(
+                F.col(qvec_col), F.col(vec_col), F.col("__qnorm"), F.col("__vnorm")
+            ),
+            ROUND,
+        )
+    else:
+        pairs = vectors.crossJoin(F.broadcast(queries))
+        dist = F.round(distance_col(metric, F.col(qvec_col), F.col(vec_col)), ROUND)
     scored = pairs.select(
         F.col(qid_col).alias("qid"),
         F.col(id_col).alias("vec_id"),

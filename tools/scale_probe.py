@@ -89,6 +89,33 @@ def main() -> None:
     rows = ivf_search(q, assigned, cents, k, nprobe=2).count()
     results["ivf_search_np2_s"] = round(time.perf_counter() - t0, 3)
 
+    # PQ probe: codebook train on the bounded sample, distributed encode of
+    # all n vectors, then ADC top-k over codes only (32× smaller scan side
+    # at dim 64 / m=8) and IVF-PQ with probe pruning on top.
+    from stackai_vector_db_spark.operators.pq import (
+        adc_topk,
+        encode_pq,
+        ivf_pq_search,
+        train_pq,
+    )
+
+    t0 = time.perf_counter()
+    cb = train_pq(vecs, m=8, n_codes=256, seed=42, sample_cap=50_000)
+    results["pq_train_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    codes = encode_pq(vecs, cb).persist()
+    codes.count()
+    results["pq_encode_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    rows = adc_topk(q, codes, cb, k).count()
+    results["pq_adc_s"] = round(time.perf_counter() - t0, 3)
+    assert rows == nq * k
+    coded = codes.join(assigned.select("vec_id", "cluster_id"), "vec_id").persist()
+    coded.count()
+    t0 = time.perf_counter()
+    ivf_pq_search(q, coded, cents, cb, k, nprobe=2).count()
+    results["ivf_pq_search_np2_s"] = round(time.perf_counter() - t0, 3)
+
     # Dedup probe: MinHash-LSH over synthetic docs from the custom source
     # (n/4 docs ≈ 10-50× the fixture corpus; near-dups exist by construction
     # since the generator's word patterns repeat with period len(_WORDS)).
