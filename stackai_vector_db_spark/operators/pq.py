@@ -79,26 +79,41 @@ def train_pq(
         raise ValueError(f"dim {d} not divisible by m={m}")
     d_sub = d // m
     k = min(n_codes, mat.shape[0])
-    rng = np.random.default_rng(seed)
+    # Subspaces train independently on thread workers — the Lloyd inner loop
+    # is matmul-dominated and numpy releases the GIL there, so M subspaces
+    # run near-M× parallel. Each gets its own deterministic seed stream
+    # (order-independent, unlike sharing one generator across threads).
+    from concurrent.futures import ThreadPoolExecutor
+
     codebooks = np.empty((m, k, d_sub), dtype=np.float64)
-    for sub in range(m):
+
+    def train_sub(sub: int) -> None:
         x = mat[:, sub * d_sub : (sub + 1) * d_sub]
+        rng = np.random.default_rng(seed + 9973 * sub)
         codebooks[sub] = _lloyd(x, k, rng, max_iter)
+
+    with ThreadPoolExecutor(max_workers=min(m, 16)) as ex:
+        list(ex.map(train_sub, range(m)))
     return codebooks
 
 
 def _lloyd(x: np.ndarray, k: int, rng: np.random.Generator, max_iter: int) -> np.ndarray:
-    """Seeded Lloyd k-means; empty clusters keep their previous centroid."""
+    """Seeded Lloyd k-means; empty clusters keep their previous centroid.
+
+    Mean update is a scatter-add (``np.add.at`` + ``bincount``), not a
+    per-cluster mask loop — the mask loop is O(k·S) Python-side and
+    dominates train time at k=256."""
     init_idx = rng.choice(x.shape[0], size=k, replace=False)
     cents = x[np.sort(init_idx)].copy()
     for _ in range(max_iter):
         d2 = _sq_dists(x, cents)
         assign = d2.argmin(axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonempty = counts > 0
         new = cents.copy()
-        for c in range(k):
-            members = x[assign == c]
-            if len(members):
-                new[c] = members.mean(axis=0)
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
         shift = float(np.abs(new - cents).max())
         cents = new
         if shift < 1e-9:
