@@ -218,3 +218,58 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def duplicate_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise similarity into dedup DECISIONS (A~B and B~C put A,B,C
+    in one cluster even when A≁C; keep the canonical min-id member, drop
+    the rest).
+
+    Min-id label propagation: every node starts as its own component; each
+    round every node takes the min of its own label and its neighbors'
+    labels. Converges in graph-diameter rounds (near-dup clusters are
+    shallow — pathological chains are bounded by ``max_iter``); each round
+    is one join + one min-aggregate, both on (id, label) pairs only, so a
+    round's shuffle is O(V+E) regardless of payload width.
+    ``localCheckpoint`` cuts lineage so plans don't nest per iteration.
+
+    Returns ``(id_col, component_id)`` covering every id in ``ids`` —
+    singletons map to themselves. Deterministic: min is order-free.
+    No reference counterpart (extension operator).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).persist()
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("comp", "ncomp")
+            .join(labels, "id")
+            .filter(F.col("ncomp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))

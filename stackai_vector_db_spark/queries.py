@@ -1035,6 +1035,62 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_dk_euclid('a.embedding', 'b.embedding')} < {NEAR_DUP_TAU}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+      WHERE e.dst <> r.id
+    )
+    SELECT v.vec_id::BIGINT AS doc_id,
+           least(v.vec_id, coalesce(m.mn, v.vec_id))::BIGINT AS component_id
+    FROM embeddings v LEFT JOIN
+      (SELECT id, min(peer) AS mn FROM reach GROUP BY id) m
+      ON v.vec_id = m.id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (pairs from
+    q_dedup_near's blocked self-join): transitive closure of similarity as
+    min-id label propagation — turns pairwise hits into dedup decisions
+    (keep component_id == doc_id, drop the rest). Oracle = recursive CTE
+    transitive closure; the iterative Spark form converges in
+    graph-diameter rounds, each O(V+E)."""
+    from stackai_vector_db_spark.operators.dedup import duplicate_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(euclidean_distance("va", "vb"), 6).alias("dist"),
+        )
+        .filter(F.col("dist") < NEAR_DUP_TAU)
+    )
+    comps = duplicate_components(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return comps.select(F.col("vec_id").alias("doc_id"), "component_id")
+
+
 # The synthetic 64-dim embeddings are near-orthogonal (within-label cosine
 # distance p01 ≈ 0.70), so the "near" threshold sits at the low tail of the
 # distribution rather than a real-world 0.1-0.2.

@@ -65,3 +65,35 @@ def test_shingle_sets_filter_short_docs(spark):
     )
     out = with_shingle_sets(docs, k=3)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_duplicate_components_chain_transitivity(spark):
+    """A~B, B~C, C~D folds into one component even though A≁D directly —
+    the property pairwise filters can't give you."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.operators.dedup import duplicate_components
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(ids, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    """A 30-node path graph (diameter 29, > the per-doubling depth) still
+    reaches the global min within max_iter rounds of propagation."""
+    from stackai_vector_db_spark.operators.dedup import duplicate_components
+
+    n = 30
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = duplicate_components(ids, pairs, max_iter=40).collect()
+    assert all(r["component_id"] == 0 for r in got)
