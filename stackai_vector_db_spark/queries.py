@@ -957,6 +957,114 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tpch_q3",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_orderkey, o.o_orderdate,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate)
+    SELECT l_orderkey::BIGINT AS l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue
+    FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): segment-filtered
+    customer→orders→lineitem star, revenue per order, global top-10.
+    The dim-side filters push into the scans; customer broadcasts; the
+    top-10 is ORDER BY + LIMIT → Catalyst's TakeOrderedAndProject (per-
+    partition heap + driver merge, never a full sort). Rank on
+    round(rev, 4) with an orderkey tie-break so the boundary is
+    float-noise-proof against the oracle."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-table join with the
+    customer-nation = supplier-nation equality. lineitem is the only big
+    side — every dim (region→nation→supplier, customer) broadcasts, so the
+    fact table is never shuffled for a join; large sums round to whole
+    units (sum-order noise, q_agg_rollup precedent)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    asian_nations = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    asian_sup = s.join(
+        F.broadcast(asian_nations), s["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(asian_sup),
+            (li["l_suppkey"] == F.col("s_suppkey"))
+            & (c["c_nationkey"] == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "q_count_distinct",
     oracle="""
     SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
