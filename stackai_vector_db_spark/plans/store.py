@@ -446,6 +446,43 @@ class VectorStore:
             self._libraries_path()
         )
 
+    def update_library(
+        self, library_id: int, name: str | None = None, description: str | None = None
+    ) -> None:
+        """Copy-on-write update (reference ``entities.py:114-135``: updates
+        return new instances; ``routers/libraries.py`` PATCH). Name keeps
+        the case-insensitive uniqueness invariant against OTHER libraries."""
+        cur = self.list_libraries()
+        if cur is None or cur.filter(F.col("library_id") == library_id).isEmpty():
+            raise ValueError(f"library {library_id} not found")
+        if name is not None:
+            if not name.strip():
+                raise ValueError("library name must be non-empty")
+            if len(name) > 255:
+                raise ValueError("library name too long")
+            clash = cur.filter(
+                (F.lower("name") == name.strip().lower())
+                & (F.col("library_id") != library_id)
+            )
+            if not clash.isEmpty():
+                raise ValueError(f"library name already exists: {name!r}")
+        hit = F.col("library_id") == library_id
+        df = cur
+        if name is not None:
+            df = df.withColumn(
+                "name", F.when(hit, F.lit(name.strip())).otherwise(F.col("name"))
+            )
+        if description is not None:
+            df = df.withColumn(
+                "description",
+                F.when(hit, F.lit(description)).otherwise(F.col("description")),
+            )
+        tmp = self._libraries_path() + "_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
+            self._libraries_path()
+        )
+
     # ---- document entities (reference routers/documents.py) ---------------
 
     def _documents_path(self) -> str:
@@ -488,6 +525,25 @@ class VectorStore:
                 raise ValueError(f"document {document_id} already exists")
             row = cur.unionByName(row)
         self._rewrite_documents(row)
+
+    def update_document(self, document_id: int, title: str) -> None:
+        """Copy-on-write title update (reference ``entities.py:177-199``,
+        ``routers/documents.py`` PATCH); same title invariants as create."""
+        if not title.strip():
+            raise ValueError("document title must be non-empty")
+        if len(title) > 255:
+            raise ValueError("document title too long")
+        cur = self.list_documents()
+        if cur is None or cur.filter(F.col("document_id") == document_id).isEmpty():
+            raise ValueError(f"document {document_id} not found")
+        self._rewrite_documents(
+            cur.withColumn(
+                "title",
+                F.when(
+                    F.col("document_id") == document_id, F.lit(title.strip())
+                ).otherwise(F.col("title")),
+            )
+        )
 
     def delete_document(self, document_id: int) -> None:
         """Cascade: drop the document row and its chunks (reference

@@ -268,3 +268,35 @@ def test_snapshot_stable_during_rebuild(spark, store):
     assert pinned == before
     fresh = store.search_text(1, q, k=5)  # new snapshot sees more data
     assert fresh.count() == 5
+
+
+def test_update_library_and_document(spark, tmp_path):
+    """Copy-on-write entity updates (reference entities.py:114-199: updates
+    return new instances; name/title invariants re-checked)."""
+    import pytest
+
+    from stackai_vector_db_spark.plans.store import VectorStore
+
+    st = VectorStore(spark, str(tmp_path / "store_upd"))
+    st.create_library(1, "Alpha")
+    st.create_library(2, "Beta")
+    st.create_document(10, 1, "Doc One")
+
+    st.update_library(1, name="Gamma", description="renamed")
+    libs = {r["library_id"]: r for r in st.list_libraries().collect()}
+    assert libs[1]["name"] == "Gamma" and libs[1]["description"] == "renamed"
+    assert libs[2]["name"] == "Beta"
+
+    # case-insensitive uniqueness vs OTHER libraries (library_repository.py:18-19)
+    with pytest.raises(ValueError, match="already exists"):
+        st.update_library(1, name="beta")
+    # renaming to own name (case change) is allowed
+    st.update_library(1, name="GAMMA")
+
+    st.update_document(10, "Doc One Revised")
+    docs = st.list_documents().collect()
+    assert docs[0]["title"] == "Doc One Revised"
+    with pytest.raises(ValueError, match="not found"):
+        st.update_document(99, "nope")
+    with pytest.raises(ValueError, match="non-empty"):
+        st.update_document(10, "   ")
