@@ -61,3 +61,23 @@ def test_fake_embed_no_join_no_shuffle_pruned(spark):
 def test_multimodal_filter_precedes_python_stage(spark):
     a = _audit(spark, "q_multimodal_features")
     assert a["python_stages"] == 1
+
+
+def test_tpch_q5_dims_all_broadcast(spark):
+    """Q5's 6-table join must never shuffle the fact table for a join: every
+    dim (region, nation, supplier, customer, filtered orders via broadcast?)
+    joins as BroadcastHashJoin; shuffles are agg-only."""
+    a = _audit(spark, "q_tpch_q5")
+    assert set(a["joins"]) == {"BroadcastHashJoin"}
+    assert a["shuffles"] <= 1  # final groupBy(n_name) only
+    # date filter pushed into the orders scan
+    assert any("o_orderdate" in p for p in a["pushed"])
+
+
+def test_tpch_q3_top10_is_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global sort."""
+    df = REGISTRY["q_tpch_q3"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
