@@ -185,3 +185,55 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "dist", "rank")
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    assigned_vectors: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    metric: Metric = "euclidean",
+    exclude_self: bool = False,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed-query kNN join — the kNN-GRAPH builder (Q ≈ N).
+
+    :func:`ivf_search` (and knn.brute_force_topk) broadcast the query side:
+    right for serving (Q ≤ k·requests), wrong when the "queries" are the
+    whole corpus — near-dup clustering, kNN-graph construction, reciprocal-
+    rank fusion all need every row queried against every other. Here the
+    query side stays a DataFrame end-to-end: probe selection is a window
+    over Q×C rows, then candidates come from a plain equi-join of
+    (queries × probes) with the cluster-assigned vector table ON
+    cluster_id — a co-partitioned shuffle join moving Q·nprobe + N rows,
+    never Q·N. Per-cluster skew is AQE's skew-join territory (or pre-salt
+    hot clusters); the final per-qid top-k window shuffles candidate rows
+    only ((nprobe/C)·N per query on average).
+
+    Extension operator — the reference caps at one query vector per request
+    (``app/schemas/search.py:22-27``).
+    """
+    probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
+    qside = probes.join(
+        queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")),
+        "qid",
+    )
+    cand = qside.join(assigned_vectors, "cluster_id").select(
+        "qid",
+        F.col(id_col).alias("vec_id"),
+        F.round(distance_col(metric, F.col("qvec"), F.col(vec_col)), ROUND).alias(
+            "dist"
+        ),
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist", "rank")
+    )

@@ -809,6 +809,56 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+KNN_GRAPH_K = 3
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+    WITH {_DK_CENTROIDS},
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings),
+    probe_d AS (
+      SELECT q.qid, c.cluster_id,
+             round(sqrt(sum(power(q.qvec[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM q, cvals c GROUP BY q.qid, c.cluster_id),
+    probes AS (
+      SELECT qid, cluster_id FROM (
+        SELECT qid, cluster_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, cluster_id) AS rn
+        FROM probe_d) WHERE rn <= {IVF_NPROBE}),
+    scored AS (
+      SELECT p.qid, e.vec_id,
+             {_dk_euclid('q.qvec', 'e.embedding')} AS dist
+      FROM probes p
+      JOIN embeddings e ON e.label = p.cluster_id
+      JOIN q ON q.qid = p.qid
+      WHERE p.qid <> e.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= {KNN_GRAPH_K}
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: kNN GRAPH — every vector queries the whole table (Q = N).
+    The query side stays distributed (no broadcast, no driver collect):
+    probe selection windows over Q×C, candidates come from a co-partitioned
+    equi-join on cluster_id moving Q·nprobe + N rows — the shape that
+    survives Q = N = 10⁹, unlike any broadcast-query plan. Self-matches
+    excluded (a vector is not its own neighbor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_ops.label_mean_centroids(emb)
+    assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
+    all_q = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_ops.knn_join(
+        all_q, assigned, cents, k=KNN_GRAPH_K, nprobe=IVF_NPROBE, exclude_self=True
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 @register("q_kmeans_build", oracle=None)  # ⚠ rows-only: k-means‖ init ≠ reference seed
 def q_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: IVF build via MLlib KMeans(seed=42, maxIter=50, tol=1e-6)

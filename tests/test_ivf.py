@@ -111,3 +111,30 @@ def test_partitioned_layout_prunes(spark, tmp_path, fixtures):
     import os
 
     assert any(d.startswith("cluster_id=") for d in os.listdir(path))
+
+
+def test_knn_join_full_probe_matches_brute_force(spark):
+    """knn_join with nprobe = C is exact: same (qid, vec_id, dist) set as
+    the broadcast brute-force plan, while keeping the query side
+    distributed."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.operators.ivf import (
+        knn_join,
+        label_mean_centroids,
+    )
+    from stackai_vector_db_spark.operators.knn import brute_force_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = label_mean_centroids(emb)
+    n_clusters = cents.count()
+    assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
+    q = emb.limit(6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    graph = knn_join(q, assigned, cents, k=4, nprobe=n_clusters)
+    brute = brute_force_topk(q, emb, 4)
+    a = {(r["qid"], r["vec_id"], r["dist"]) for r in graph.collect()}
+    b = {(r["qid"], r["vec_id"], r["dist"]) for r in brute.collect()}
+    assert a == b
