@@ -195,6 +195,7 @@ def knn_join(
     nprobe: int = 1,
     metric: Metric = "euclidean",
     exclude_self: bool = False,
+    n_salts: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
@@ -207,30 +208,82 @@ def knn_join(
     whole corpus — near-dup clustering, kNN-graph construction, reciprocal-
     rank fusion all need every row queried against every other. Here the
     query side stays a DataFrame end-to-end: probe selection is a window
-    over Q×C rows, then candidates come from a plain equi-join of
-    (queries × probes) with the cluster-assigned vector table ON
-    cluster_id — a co-partitioned shuffle join moving Q·nprobe + N rows,
-    never Q·N. Per-cluster skew is AQE's skew-join territory (or pre-salt
-    hot clusters); the final per-qid top-k window shuffles candidate rows
-    only ((nprobe/C)·N per query on average).
+    over Q×C rows, then each probed cluster is one **cogrouped Arrow
+    block** — queries-probing-the-cluster × vectors-in-the-cluster scored
+    as a single numpy Qc×Nc matmul emitting per-query local top-k. The
+    shuffle moves Q·nprobe query rows + N vector rows once (grouping), and
+    the exact final window ranks only Q·nprobe·salts·k survivors — never
+    the Q·N pair stream, and never a wide (qvec, vec) joined row.
+
+    ``n_salts`` splits each cluster's vector side into S hash sub-groups
+    (probes are replicated ×S): a hot cluster becomes S independent tasks
+    instead of one straggler — set S so Nc/S × Qc blocks fit executor
+    memory at the target scale.
 
     Extension operator — the reference caps at one query vector per request
     (``app/schemas/search.py:22-27``).
     """
+    import numpy as np
+    import pandas as pd
+
+    from stackai_vector_db_spark.operators.knn import _block_dists
+
     probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
     qside = probes.join(
         queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")),
         "qid",
     )
-    cand = qside.join(assigned_vectors, "cluster_id").select(
-        "qid",
-        F.col(id_col).alias("vec_id"),
-        F.round(distance_col(metric, F.col("qvec"), F.col(vec_col)), ROUND).alias(
-            "dist"
-        ),
+    vside = assigned_vectors.select(
+        "cluster_id", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    if exclude_self:
-        cand = cand.filter(F.col("qid") != F.col("vec_id"))
+    if n_salts > 1:
+        qside = qside.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
+        vside = vside.withColumn(
+            "salt", F.pmod(F.abs(F.hash(F.col("vec_id"))), F.lit(n_salts))
+        )
+    else:
+        qside = qside.withColumn("salt", F.lit(0))
+        vside = vside.withColumn("salt", F.lit(0))
+
+    def block(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "vec_id": [], "dist": []}).astype(
+            {"qid": "int64", "vec_id": "int64", "dist": "float64"}
+        )
+        if qpdf.empty or vpdf.empty:
+            return empty
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        qmat = np.array(list(qpdf["qvec"]), dtype=np.float64)
+        vids = vpdf["vec_id"].to_numpy(dtype=np.int64)
+        vmat = np.array(list(vpdf["vec"]), dtype=np.float64)
+        dists = _block_dists(qmat, vmat, metric)
+        kk = min(k, vmat.shape[0])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(qmat.shape[0]):
+            row = dists[qi]
+            order = np.lexsort((vids, row))
+            if exclude_self:
+                order = order[vids[order] != qids[qi]]
+            order = order[:kk]
+            out_q.append(np.full(order.shape[0], qids[qi]))
+            out_v.append(vids[order])
+            out_d.append(row[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    cand = (
+        qside.groupBy("cluster_id", "salt")
+        .cogroup(vside.groupBy("cluster_id", "salt"))
+        .applyInPandas(block, schema="qid long, vec_id long, dist double")
+    )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

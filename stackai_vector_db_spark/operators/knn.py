@@ -138,20 +138,7 @@ def _local_topk(
                 continue
             vids = pdf[id_col].to_numpy(dtype=np.int64)
             vmat = np.array(list(pdf[vec_col]), dtype=np.float64)  # B × D
-            if metric == "euclidean":
-                d2 = (
-                    (qmat * qmat).sum(axis=1)[:, None]
-                    - 2.0 * (qmat @ vmat.T)
-                    + (vmat * vmat).sum(axis=1)[None, :]
-                )
-                dists = np.sqrt(np.maximum(d2, 0.0))
-            else:
-                qn = np.linalg.norm(qmat, axis=1)[:, None]
-                vn = np.linalg.norm(vmat, axis=1)[None, :]
-                norms = qn * vn
-                sim = np.divide(qmat @ vmat.T, norms, out=np.zeros_like(norms), where=norms != 0)
-                dists = np.where(norms == 0, 1.0, 1.0 - sim)
-            dists = np.round(dists, ROUND)
+            dists = _block_dists(qmat, vmat, metric)
             kk = min(k, vmat.shape[0])
             out_q, out_v, out_d = [], [], []
             for qi in range(qmat.shape[0]):
@@ -170,6 +157,28 @@ def _local_topk(
     return vectors.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
     ).mapInPandas(part, schema="qid long, vec_id long, dist double")
+
+
+def _block_dists(qmat, vmat, metric: Metric):
+    """Q × B distance matrix in float64, rounded to ROUND decimals — the
+    single numeric convention every Arrow kernel in the engine shares, so
+    local pre-reductions and the exact final window always agree."""
+    import numpy as np
+
+    if metric == "euclidean":
+        d2 = (
+            (qmat * qmat).sum(axis=1)[:, None]
+            - 2.0 * (qmat @ vmat.T)
+            + (vmat * vmat).sum(axis=1)[None, :]
+        )
+        dists = np.sqrt(np.maximum(d2, 0.0))
+    else:
+        qn = np.linalg.norm(qmat, axis=1)[:, None]
+        vn = np.linalg.norm(vmat, axis=1)[None, :]
+        norms = qn * vn
+        sim = np.divide(qmat @ vmat.T, norms, out=np.zeros_like(norms), where=norms != 0)
+        dists = np.where(norms == 0, 1.0, 1.0 - sim)
+    return np.round(dists, ROUND)
 
 
 def _sq_dist_exact(qmat, vmat):  # pragma: no cover - helper for tests

@@ -138,3 +138,26 @@ def test_knn_join_full_probe_matches_brute_force(spark):
     a = {(r["qid"], r["vec_id"], r["dist"]) for r in graph.collect()}
     b = {(r["qid"], r["vec_id"], r["dist"]) for r in brute.collect()}
     assert a == b
+
+
+def test_knn_join_salting_invariant(spark):
+    """Splitting hot clusters into salted sub-blocks changes the physical
+    task shape only: per-block local top-k still covers the global top-k,
+    so results are identical to the unsalted join."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.operators.ivf import (
+        knn_join,
+        label_mean_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = label_mean_centroids(emb)
+    assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
+    q = emb.limit(20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plain = knn_join(q, assigned, cents, k=3, nprobe=2, exclude_self=True)
+    salted = knn_join(q, assigned, cents, k=3, nprobe=2, exclude_self=True, n_salts=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -81,3 +81,25 @@ def test_tpch_q3_top10_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_knn_graph_cogroup_no_broadcast_query_side(spark):
+    """The kNN-graph join must keep the query side distributed: candidates
+    come from one cogrouped Arrow block stage, never a Q×N pair join. The
+    only nested-loop allowed is the probe stage's Q×C cross join, whose
+    broadcast side is the tiny centroid table — so every broadcast exchange
+    in the plan must be centroid/probe-sized, never the vector table."""
+    df = REGISTRY["q_knn_graph"].fn(spark, SF_DIR)
+    a = audit(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in a["joins"]
+    # The embeddings scan feeds grouping exchanges only — a broadcast of the
+    # vector table would show as BroadcastExchange above a parquet scan of
+    # the embedding column in the same subtree as the nested loop.
+    nested = plan.split("BroadcastNestedLoopJoin", 1)
+    if len(nested) == 2:
+        # the broadcast input of the BNLJ is built from label_mean_centroids
+        # (an aggregate), not a raw parquet scan of embeddings
+        bcast_idx = plan.index("BroadcastNestedLoopJoin")
+        assert "centroid" in plan[bcast_idx:], "probe BNLJ lost its centroid side"
