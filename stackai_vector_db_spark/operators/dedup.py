@@ -139,11 +139,23 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
     shingle → signature → band buckets → candidate pairs (band join) →
     exact-Jaccard verification. Returns (id_a, id_b, jaccard) with
     jaccard rounded to 6 and ≥ threshold.
+
+    ``max_bucket_size`` is the mega-bucket guard for corpus-scale runs: a
+    band bucket holding B docs emits B² candidate rows, so one degenerate
+    bucket (boilerplate, empty strings, templated pages) can dominate the
+    whole job. Buckets larger than the cap are dropped *before* the
+    self-join — the bucket-size count is a partial-aggregable groupBy on the
+    same (band, bh) key the join shuffles on, so the guard adds no new
+    shuffle boundary. Trade-off (documented, standard for web-scale dedup):
+    pairs whose only colliding band is a mega-bucket are missed; near-exact
+    duplicates collide in several bands and survive. ``None`` = exact LSH
+    semantics (the oracle-checked default).
     """
     r = n_hashes // n_bands
     # base feeds three plan branches (signature, verify-left, verify-right);
@@ -158,6 +170,16 @@ def minhash_lsh_pairs(
         id_col,
         F.explode(band_hashes(F.col("sig"), n_bands, r)).alias("b"),
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("__bucket_n")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bh"])
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
 
     left = banded.select(
         F.col("band"), F.col("bh"), F.col(id_col).alias("id_a")

@@ -97,3 +97,24 @@ def test_duplicate_components_long_chain_converges(spark):
     )
     got = duplicate_components(ids, pairs, max_iter=40).collect()
     assert all(r["component_id"] == 0 for r in got)
+
+
+def test_minhash_bucket_cap_is_subset_and_converges(spark):
+    """The mega-bucket guard only ever drops pairs (capped output ⊆ uncapped)
+    and a cap at/above the largest bucket is a no-op. Exact duplicates share
+    every band, so with cap=2 the planted exact-dup pair (0,4) survives in
+    some 2-doc bucket while nothing new appears."""
+    docs = _docs(spark)
+    full = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    nocap = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, max_bucket_size=10_000).collect()
+    }
+    assert nocap == full
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, max_bucket_size=3).collect()
+    }
+    assert capped <= full
+    assert (0, 4) in capped
+    assert minhash_lsh_pairs(docs, max_bucket_size=1).count() == 0
