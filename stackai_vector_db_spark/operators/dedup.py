@@ -206,6 +206,103 @@ def minhash_lsh_pairs(
     )
 
 
+def build_minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent LSH dedup index a pipeline stores next to its corpus:
+    ``(base, banded)`` where ``base`` is (id, shingle_set) for exact-Jaccard
+    verification and ``banded`` is (id, band, bh) bucket membership.
+
+    At scale both are parquet tables; writing ``banded`` with
+    ``bucketBy(n, "band", "bh")`` makes every future incremental-batch join
+    shuffle only the new batch's rows (see
+    :func:`incremental_minhash_pairs`). Deterministic: rebuilding from the
+    same corpus yields identical tables, so batch and incremental paths
+    agree exactly.
+    """
+    r = n_hashes // n_bands
+    base = with_shingle_sets(docs, text_col, id_col, k)
+    sig = base.select(
+        id_col, minhash_signature(F.col("shingle_set"), n_hashes).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(band_hashes(F.col("sig"), n_bands, r)).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    return base, banded
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    old_base: DataFrame,
+    old_banded: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus without
+    recomputing the corpus self-join — the daily-increment shape of a
+    training-data pipeline (crawl day N vs the deduped corpus so far).
+
+    Candidates = (new × old) via an equi-join of the new batch's band
+    buckets against the stored index, plus (new × new) within the batch;
+    old × old pairs were already decided when the index was built and are
+    never re-derived. Work scales with the BATCH, not the corpus: the
+    band join moves n_bands rows per new doc (plus matching old buckets if
+    ``old_banded`` isn't bucket-laid-out), and verification fetches shingle
+    sets for candidate ids only. Exactness contract (tested):
+    ``minhash_lsh_pairs(old ∪ new) == minhash_lsh_pairs(old) ∪ this``.
+
+    Output matches the batch convention: (id_a, id_b, jaccard), id_a < id_b,
+    jaccard rounded to 6 and ≥ threshold.
+    """
+    new_base, new_banded = build_minhash_index(
+        new_docs, text_col, id_col, k, n_hashes, n_bands
+    )
+    new_base = new_base.persist()
+    new_banded = new_banded.persist()
+
+    old_b = old_banded.select(
+        "band", "bh", F.col(id_col).alias("__old_id")
+    )
+    nvo = (
+        new_banded.select("band", "bh", F.col(id_col).alias("__new_id"))
+        .join(old_b, ["band", "bh"])
+        .select(
+            F.least("__new_id", "__old_id").alias("id_a"),
+            F.greatest("__new_id", "__old_id").alias("id_b"),
+        )
+    )
+    nl = new_banded.select("band", "bh", F.col(id_col).alias("id_a"))
+    nr = new_banded.select("band", "bh", F.col(id_col).alias("id_b"))
+    nvn = (
+        nl.join(nr, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = nvo.unionByName(nvn).distinct()
+
+    all_base = old_base.unionByName(new_base)
+    sa = all_base.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("sa"))
+    sb = all_base.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col: str,

@@ -1794,6 +1794,58 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_DK_AUG_DOCS}, {_DK_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               j -> list_min(list_transform(ss,
+                      s -> (s*(2*j+1) + (7919*j+1)) % 1000000007))) AS sig
+      FROM base),
+    banded AS (
+      SELECT doc_id, b AS band,
+             (((((sig[b*4+1]*131 + sig[b*4+2]) % 1000000007) * 131
+                + sig[b*4+3]) % 1000000007) * 131 + sig[b*4+4]) % 1000000007 AS bh
+      FROM sigs, unnest([0, 1, 2, 3]) t(b)),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+    FROM cand c JOIN base a ON a.doc_id = c.id_a JOIN base b ON b.doc_id = c.id_b
+    WHERE round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) >= 0.5
+      AND c.id_b >= 1000000
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the augmented copies arrive as a NEW batch and are
+    deduped against the LSH index of the original corpus — no corpus
+    self-join re-run. The oracle is the full-batch SQL filtered to pairs
+    with a new-side id: exactness of the incremental path is the query's
+    claim (batch ∪-decomposition, see operators/dedup.py)."""
+    from stackai_vector_db_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = old.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    old_base, old_banded = build_minhash_index(old, k=3, n_hashes=16, n_bands=4)
+    return incremental_minhash_pairs(
+        new, old_base, old_banded, k=3, n_hashes=16, n_bands=4,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
     "q_ngram_jaccard",
     oracle=f"""
     WITH {_DK_AUG_DOCS}, {_DK_SHINGLES},

@@ -118,3 +118,46 @@ def test_minhash_bucket_cap_is_subset_and_converges(spark):
     assert capped <= full
     assert (0, 4) in capped
     assert minhash_lsh_pairs(docs, max_bucket_size=1).count() == 0
+
+
+def test_incremental_equals_batch_decomposition(spark):
+    """The incremental path is exact: pairs(old ∪ new) must equal
+    pairs(old) ∪ incremental(new vs old-index) — no pair lost, none
+    invented, identical jaccard values."""
+    from stackai_vector_db_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " tail"),
+            (2, "completely different words about spark dataframes and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                                  # dup of old 0
+            (11, "another unrelated sentence mentioning lsh banding"),
+            (12, base + " tail"),                        # dup of old 1 and new 10
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(old.unionByName(new)).collect()
+    }
+    old_pairs = {
+        (r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(old).collect()
+    }
+    ob, obd = build_minhash_index(old)
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_minhash_pairs(new, ob, obd).collect()
+    }
+    assert set(old_pairs) & set(inc) == set()
+    merged = {**old_pairs, **inc}
+    assert merged == full
