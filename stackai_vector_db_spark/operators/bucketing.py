@@ -20,13 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, n_buckets: int = 8
+    df: DataFrame, table: str, key: str, *more_keys: str, n_buckets: int = 8
 ) -> None:
-    """Persist ``df`` as a bucketed+sorted managed table on ``key``."""
+    """Persist ``df`` as a bucketed+sorted managed table on the key
+    column(s) — composite keys (e.g. the LSH index's ``(band, bh)``) bucket
+    on the tuple hash, so equi-joins on the full key read the stored side
+    with zero exchange."""
     (
         df.write.mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
+        .bucketBy(n_buckets, key, *more_keys)
+        .sortBy(key, *more_keys)
         .format("parquet")
         .saveAsTable(table)
     )

@@ -25,8 +25,8 @@ def bucketed_tables(spark):
         load_table(spark, SF_DIR, "orders")
         .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
     )
-    write_bucketed(li, "t_li_bucketed", "l_orderkey", 8)
-    write_bucketed(o, "t_o_bucketed", "l_orderkey", 8)
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed(o, "t_o_bucketed", "l_orderkey", n_buckets=8)
     yield
     drop_table(spark, "t_li_bucketed")
     drop_table(spark, "t_o_bucketed")
@@ -55,3 +55,30 @@ def test_bucketed_groupby_no_shuffle(spark, bucketed_tables):
     li = read_table(spark, "t_li_bucketed")
     agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
     assert audit(agg)["shuffles"] == 0, "bucketed groupBy on the bucket key"
+
+
+def test_incremental_dedup_index_bucketed_single_shuffle(spark):
+    """The stored LSH dedup index bucketed on (band, bh) joins a new batch's
+    band buckets with at most ONE exchange — the new batch's side. The
+    stored corpus index (the big side at 100 TB) is never re-shuffled."""
+    from stackai_vector_db_spark.operators.dedup import build_minhash_index
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    _, old_banded = build_minhash_index(old)
+    write_bucketed(old_banded, "t_lsh_idx", "band", "bh", n_buckets=8)
+    try:
+        stored = read_table(spark, "t_lsh_idx")
+        _, new_banded = build_minhash_index(new)
+        joined = new_banded.join(
+            stored.withColumnRenamed("doc_id", "old_id"), ["band", "bh"]
+        )
+        assert joined.count() > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the bucketed scan must not sit under an Exchange: exactly the
+        # new-batch side shuffles (sort-merge) or neither (broadcast)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 1, plan
+    finally:
+        drop_table(spark, "t_lsh_idx")
