@@ -1172,12 +1172,21 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact text dedup: hash-groupBy on content, keep min id per group
-    (the groupBy shuffles only (hash(text), id) after Catalyst prunes)."""
+    """Exact text dedup: hash-groupBy on content, keep min id per group.
+    Grouping on sha2(text) instead of the text itself means the dedup
+    shuffle moves 32 bytes per row, not document bodies — at 100 TB the
+    difference between shuffling the corpus and shuffling ~1% of it.
+    Identical groups to GROUP BY text (collision probability 2^-128-ish,
+    and deterministic either way)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
-    ).select("keeper", "n_copies")
+    return (
+        d.select(F.sha2(F.col("text"), 256).alias("__key"), "doc_id")
+        .groupBy("__key")
+        .agg(
+            F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+        )
+        .select("keeper", "n_copies")
+    )
 
 
 NEAR_DUP_TAU = 1.2
@@ -1411,15 +1420,19 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # Dedup key = sha2(text): the document body is scored map-side and then
+    # DROPPED before the dedup exchange — only (32-byte key, id, lang, score,
+    # words) shuffle. Same groups as keying on text (no collisions at any
+    # realistic corpus size), but the 100 TB shuffle is ~1% the bytes.
     scored = d.select(
         "doc_id",
-        "text",
+        F.sha2(F.col("text"), 256).alias("__key"),
         "lang",
         lang_id(F.col("text")).alias("lang_pred"),
         F.round(quality_score(F.col("text")), 6).alias("score"),
         token_count_ws(F.col("text")).cast("long").alias("words"),
     ).filter(F.col("score") >= QUALITY_KEEP)
-    w = Window.partitionBy("text").orderBy("doc_id")
+    w = Window.partitionBy("__key").orderBy("doc_id")
     dedup = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return dedup.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
