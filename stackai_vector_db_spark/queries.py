@@ -1852,6 +1852,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
     old_base, old_banded = build_minhash_index(old, k=3, n_hashes=16, n_bands=4)
+    # The old index is a STORED artifact in production (see
+    # build_minhash_index docstring); persist+fill stands in for the table
+    # read so the old corpus' shingle pipeline doesn't re-run per plan
+    # branch (candidate join + verification both reference it).
+    old_base = old_base.persist()
+    old_banded = old_banded.persist()
+    old_base.count()
+    old_banded.count()
     return incremental_minhash_pairs(
         new, old_base, old_banded, k=3, n_hashes=16, n_bands=4,
         jaccard_threshold=0.5,
