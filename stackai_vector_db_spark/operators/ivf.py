@@ -149,6 +149,61 @@ def probe_clusters(
     )
 
 
+def probe_clusters_arrow(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    metric: Metric = "euclidean",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """:func:`probe_clusters` for LARGE query sets (Q ≈ N workloads).
+
+    The declarative probe materializes Q×C scored rows and windows them —
+    right for serving (Q ≤ k·requests), but at Q = 200k × C = 316 that is
+    63M interpreted HOF distance evaluations plus a 63M-row window shuffle.
+    Here the centroid table (tiny by construction: C ≈ √(N/2), reference
+    ``app/indexes/ivf.py:26``) is collected once to a C×D numpy matrix and
+    each query batch reduces to its nprobe nearest clusters MAP-SIDE: one
+    Qb×C matmul, stable argsort row-wise — no Q×C rows ever exist in the
+    plan and nothing shuffles. Emits (qid, qvec, cluster_id) so callers
+    join nothing back.
+
+    Value-identical to the declarative probe: same ``_block_dists``
+    convention (float64, round 6) and ties by cluster_id via stable argsort
+    over centroid-id-ordered columns.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from stackai_vector_db_spark.operators.knn import _block_dists
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cluster_id"])
+    cids = np.array([r["cluster_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    np_ = min(nprobe, len(rows))
+
+    def part(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qids = pdf[qid_col].to_numpy(dtype=np.int64)
+            qmat = np.array(list(pdf[qvec_col]), dtype=np.float64)
+            d = _block_dists(qmat, cmat, metric)
+            order = np.argsort(d, axis=1, kind="stable")[:, :np_]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, np_),
+                    "qvec": list(np.repeat(qmat, np_, axis=0)),
+                    "cluster_id": cids[order].ravel(),
+                }
+            )
+
+    return queries.mapInPandas(
+        part, schema="qid long, qvec array<double>, cluster_id int"
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     assigned_vectors: DataFrame,
@@ -207,13 +262,15 @@ def knn_join(
     right for serving (Q ≤ k·requests), wrong when the "queries" are the
     whole corpus — near-dup clustering, kNN-graph construction, reciprocal-
     rank fusion all need every row queried against every other. Here the
-    query side stays a DataFrame end-to-end: probe selection is a window
-    over Q×C rows, then each probed cluster is one **cogrouped Arrow
-    block** — queries-probing-the-cluster × vectors-in-the-cluster scored
-    as a single numpy Qc×Nc matmul emitting per-query local top-k. The
-    shuffle moves Q·nprobe query rows + N vector rows once (grouping), and
-    the exact final window ranks only Q·nprobe·salts·k survivors — never
-    the Q·N pair stream, and never a wide (qvec, vec) joined row.
+    query side stays a DataFrame end-to-end: probe selection is the
+    map-side Arrow kernel (:func:`probe_clusters_arrow` — no Q×C rows, no
+    window shuffle, no probes⋈queries join), then each probed cluster is
+    one **cogrouped Arrow block** — queries-probing-the-cluster ×
+    vectors-in-the-cluster scored as a single numpy Qc×Nc matmul emitting
+    per-query local top-k. The shuffle moves Q·nprobe query rows + N vector
+    rows once (grouping), and the exact final window ranks only
+    Q·nprobe·salts·k survivors — never the Q·N pair stream, and never a
+    wide (qvec, vec) joined row.
 
     ``n_salts`` splits each cluster's vector side into S hash sub-groups
     (probes are replicated ×S): a hot cluster becomes S independent tasks
@@ -228,10 +285,8 @@ def knn_join(
 
     from stackai_vector_db_spark.operators.knn import _block_dists
 
-    probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
-    qside = probes.join(
-        queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")),
-        "qid",
+    qside = probe_clusters_arrow(
+        queries, centroids, nprobe, metric, qid_col, qvec_col
     )
     vside = assigned_vectors.select(
         "cluster_id", F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")

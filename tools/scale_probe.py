@@ -89,6 +89,37 @@ def main() -> None:
     rows = ivf_search(q, assigned, cents, k, nprobe=2).count()
     results["ivf_search_np2_s"] = round(time.perf_counter() - t0, 3)
 
+    # kNN-graph probe: EVERY vector queries the corpus (Q = N) through the
+    # cogrouped block kernel — the distributed-query path no broadcast plan
+    # can serve. Cluster count follows the reference's IVF sizing
+    # C ≈ √(N/2) (app/indexes/ivf.py:26): per-block work is
+    # (Q/C)·(N/C)·C·dim = Q·N·dim/C, so C is THE lever that keeps the graph
+    # build subquadratic — 16 coarse labels would be 20× the flops here.
+    # Hash-partitioned labels stand in for trained clusters (balanced by
+    # construction; the probe measures throughput, not recall).
+    from stackai_vector_db_spark.operators.ivf import knn_join
+
+    graph_c = max(64, int((n / 2) ** 0.5))
+    graph_vecs = vecs.withColumn(
+        "label", ((F.col("vec_id") * 2654435761) % graph_c).cast("int")
+    )
+    graph_cents = label_mean_centroids(graph_vecs).persist()
+    graph_cents.count()
+    # localCheckpoint: in production the cluster layout is a STORED table;
+    # materializing mirrors that and breaks the shared-lineage ambiguity
+    # between the probe side and the vector side.
+    graph_side = graph_vecs.select(
+        "vec_id", "embedding", F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    allq = vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    t0 = time.perf_counter()
+    graph_rows = knn_join(
+        allq, graph_side, graph_cents, k, nprobe=1, exclude_self=True
+    ).count()
+    results["knn_graph_np1_s"] = round(time.perf_counter() - t0, 3)
+    results["knn_graph_rows"] = graph_rows
+    results["knn_graph_clusters"] = graph_c
+
     # PQ probe: codebook train on the bounded sample, distributed encode of
     # all n vectors, then ADC top-k over codes only (32× smaller scan side
     # at dim 64 / m=8) and IVF-PQ with probe pruning on top.
@@ -135,6 +166,28 @@ def main() -> None:
     results["minhash_lsh_s"] = round(time.perf_counter() - t0, 3)
     results["minhash_docs"] = ndocs
     results["minhash_pairs"] = pairs
+
+    # Incremental-dedup probe: the last 10% of the corpus arrives as a new
+    # batch and is deduped against the stored LSH index of the first 90% —
+    # should cost a fraction of the full self-join re-run above.
+    from stackai_vector_db_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    cut = int(ndocs * 0.9)
+    old_docs = docs.filter(F.col("doc_id") < cut)
+    new_docs = docs.filter(F.col("doc_id") >= cut)
+    old_base, old_banded = build_minhash_index(old_docs)
+    old_base = old_base.persist()
+    old_banded = old_banded.persist()
+    old_base.count(), old_banded.count()  # index is pre-built/stored
+    t0 = time.perf_counter()
+    inc_pairs = incremental_minhash_pairs(
+        new_docs, old_base, old_banded, jaccard_threshold=0.5
+    ).count()
+    results["minhash_incremental_s"] = round(time.perf_counter() - t0, 3)
+    results["minhash_incremental_pairs"] = inc_pairs
 
     print(
         json.dumps(
