@@ -26,12 +26,15 @@ from stackai_vector_db_spark.operators.ivf import (  # noqa: E402,F401
     assign_clusters,
     ivf_search,
     kmeans_centroids,
+    knn_join,
     write_ivf_layout,
 )
 from stackai_vector_db_spark.operators.ann_lsh import ann_lsh_topk  # noqa: E402,F401
 from stackai_vector_db_spark.operators.asof import asof_join_backward  # noqa: E402,F401
 from stackai_vector_db_spark.operators.range_join import banded_range_join  # noqa: E402,F401
 from stackai_vector_db_spark.operators.dedup import (  # noqa: E402,F401
+    build_minhash_index,
+    incremental_minhash_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
