@@ -161,3 +161,34 @@ def test_knn_join_salting_invariant(spark):
     plain = knn_join(q, assigned, cents, k=3, nprobe=2, exclude_self=True)
     salted = knn_join(q, assigned, cents, k=3, nprobe=2, exclude_self=True, n_salts=4)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_probe_arrow_matches_declarative(spark):
+    """probe_clusters_arrow must pick exactly the clusters the declarative
+    window probe picks — same distances (round 6), same cluster_id
+    tie-break — for both metrics and nprobe values."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.operators.ivf import (
+        label_mean_centroids,
+        probe_clusters,
+        probe_clusters_arrow,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = label_mean_centroids(emb)
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    for metric in ("euclidean", "cosine"):
+        for nprobe in (1, 2):
+            a = {
+                (r["qid"], r["cluster_id"])
+                for r in probe_clusters(q, cents, nprobe, metric).collect()
+            }
+            b = {
+                (r["qid"], r["cluster_id"])
+                for r in probe_clusters_arrow(q, cents, nprobe, metric)
+                .select("qid", "cluster_id")
+                .collect()
+            }
+            assert a == b, (metric, nprobe)
