@@ -267,8 +267,15 @@ def incremental_minhash_pairs(
     new_base, new_banded = build_minhash_index(
         new_docs, text_col, id_col, k, n_hashes, n_bands
     )
+    # Eager cache fill: the single downstream action references these from
+    # three plan branches (new×old join, new×new join, verification) — with
+    # a lazy cache the branches race and each recomputes the batch pipeline
+    # (measured 3× the cost at 250k docs). One fill job, then all branches
+    # read the cache.
     new_base = new_base.persist()
     new_banded = new_banded.persist()
+    new_base.count()
+    new_banded.count()
 
     old_b = old_banded.select(
         "band", "bh", F.col(id_col).alias("__old_id")
