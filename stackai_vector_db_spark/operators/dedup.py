@@ -247,10 +247,13 @@ def incremental_minhash_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     jaccard_threshold: float = 0.5,
+    new_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-indexed corpus without
     recomputing the corpus self-join — the daily-increment shape of a
     training-data pipeline (crawl day N vs the deduped corpus so far).
+    Callers that also store the batch's index (e.g. the streaming ingest
+    path) pass it pre-built via ``new_index`` to avoid deriving it twice.
 
     Candidates = (new × old) via an equi-join of the new batch's band
     buckets against the stored index, plus (new × new) within the batch;
@@ -264,9 +267,12 @@ def incremental_minhash_pairs(
     Output matches the batch convention: (id_a, id_b, jaccard), id_a < id_b,
     jaccard rounded to 6 and ≥ threshold.
     """
-    new_base, new_banded = build_minhash_index(
-        new_docs, text_col, id_col, k, n_hashes, n_bands
-    )
+    if new_index is not None:
+        new_base, new_banded = new_index
+    else:
+        new_base, new_banded = build_minhash_index(
+            new_docs, text_col, id_col, k, n_hashes, n_bands
+        )
     # Eager cache fill: the single downstream action references these from
     # three plan branches (new×old join, new×new join, verification) — with
     # a lazy cache the branches race and each recomputes the batch pipeline

@@ -191,3 +191,51 @@ def test_incremental_index_stream(spark):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming dedup-at-ingest is exact: three micro-batches deduped
+    against the accumulating index must together find exactly the pairs the
+    one-shot batch self-join finds over the whole corpus — each pair
+    emitted once, by the batch that completes it."""
+    from stackai_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from stackai_vector_db_spark.streaming.dedup import dedup_ingest_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = d.unionByName(copies).persist()
+    n = corpus.count()
+
+    docs_dir = str(tmp_path / "docs")
+    # three disjoint slices, one parquet file each → 3 micro-batches under
+    # maxFilesPerTrigger=1 (copies land in a different batch than originals)
+    third = 1000000 // 2
+    slices = [
+        corpus.filter(F.col("doc_id") < 300),
+        corpus.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < third)),
+        corpus.filter(F.col("doc_id") >= third),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    dedup_ingest_stream(
+        spark,
+        docs_dir,
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus).collect()
+    }
+    assert got == want and len(want) > 0
+    # the accumulated index covers every doc exactly once
+    assert spark.read.parquet(str(tmp_path / "index/base")).count() <= n
