@@ -859,6 +859,69 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+EMBED_DEDUP_TAU = 1.2
+
+
+@register(
+    "q_dedup_embed_incremental",
+    oracle=f"""
+    WITH old AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+    cvals AS (
+      SELECT cluster_id, pos, round(avg(val), 9) AS mean_val FROM (
+        SELECT label AS cluster_id,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding)::DOUBLE AS val
+        FROM old)
+      GROUP BY cluster_id, pos),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id % 10 = 0),
+    probe_d AS (
+      SELECT q.qid, c.cluster_id,
+             round(sqrt(sum(power(q.qvec[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM q, cvals c GROUP BY q.qid, c.cluster_id),
+    probes AS (
+      SELECT qid, cluster_id FROM (
+        SELECT qid, cluster_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, cluster_id) AS rn
+        FROM probe_d) WHERE rn <= {IVF_NPROBE}),
+    scored AS (
+      SELECT p.qid, o.vec_id,
+             {_dk_euclid('q.qvec', 'o.embedding')} AS dist
+      FROM probes p
+      JOIN old o ON o.label = p.cluster_id
+      JOIN q ON q.qid = p.qid),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked
+    WHERE rnk <= {KNN_K} AND dist <= {EMBED_DEDUP_TAU}
+    """,
+)
+def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: embedding-cosine/euclidean near-dup of a NEW vector batch
+    against the stored corpus cluster layout — the vector twin of
+    q_dedup_incremental. The batch (10% of vectors) probes the OLD corpus'
+    centroids and scores only within probed clusters via the knn_join
+    cogrouped block kernel; candidates within τ of an existing vector are
+    flagged. Work ∝ batch × probed fraction, never batch × corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = ivf_ops.label_mean_centroids(old)
+    assigned = old.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
+    out = ivf_ops.knn_join(
+        new.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        assigned,
+        cents,
+        k=KNN_K,
+        nprobe=IVF_NPROBE,
+    )
+    return out.filter(F.col("dist") <= EMBED_DEDUP_TAU).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
 @register("q_kmeans_build", oracle=None)  # ⚠ rows-only: k-means‖ init ≠ reference seed
 def q_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: IVF build via MLlib KMeans(seed=42, maxIter=50, tol=1e-6)
