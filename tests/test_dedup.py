@@ -161,3 +161,38 @@ def test_incremental_equals_batch_decomposition(spark):
     assert set(old_pairs) & set(inc) == set()
     merged = {**old_pairs, **inc}
     assert merged == full
+
+
+def test_shingle_arrow_matches_native(spark):
+    """The Arrow shingle kernel must be bit-identical to the JVM HOF form —
+    on real fixture docs AND on whitespace edge cases (leading/trailing/
+    repeated whitespace, tabs, short docs, empty-ish strings)."""
+    from stackai_vector_db_spark.catalog import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (0, "plain three token doc"),
+            (1, "  leading spaces here ok"),
+            (2, "trailing spaces three here   "),
+            (3, "\ttab lead and words here"),
+            (4, "multi   space    run words"),
+            (5, "two only"),          # < k tokens -> filtered
+            (6, ""),                   # empty -> filtered
+            (7, "newline\nin the middle here"),
+            (8, "UPPER Case MiXeD tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    fixture = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for df in (edge, fixture):
+        nat = {
+            r.doc_id: list(r.shingle_set)
+            for r in with_shingle_sets(df, strategy="native").collect()
+        }
+        arr = {
+            r.doc_id: list(r.shingle_set)
+            for r in with_shingle_sets(df, strategy="arrow").collect()
+        }
+        assert nat == arr
