@@ -45,6 +45,11 @@ CHUNK_SCHEMA = (
     "embedding array<float>, start_index int, end_index int, "
     "similarity_threshold float"
 )
+_CHUNK_TYPES = [
+    (c.strip().split(" ", 1)[0], c.strip().split(" ", 1)[1])
+    for c in CHUNK_SCHEMA.split(", ")
+]
+_CHUNK_COLS = [c for c, _ in _CHUNK_TYPES]
 
 DEFAULT_DIM = 16
 REBUILD_THRESHOLD = 0.1  # reference config.py:58
@@ -85,6 +90,20 @@ class VectorStore:
     def _chunks_path(self, version: int) -> str:
         return os.path.join(self.root, "chunks", f"v{version}")
 
+    def _chunks_manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_meta", f"chunks_v{version}.json")
+
+    def _chunks_sources(self, version: int) -> list[str] | None:
+        """A chunks version is either a MANIFEST (list of immutable data
+        dirs — the append-only ingest path) or a plain rewritten dir
+        (update/delete/compact). Manifest wins if both exist."""
+        mp = self._chunks_manifest_path(version)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                return json.load(f)
+        p = self._chunks_path(version)
+        return [p] if os.path.exists(p) else None
+
     def _index_path(self, version: int) -> str:
         return os.path.join(self.root, "index", f"v{version}")
 
@@ -118,26 +137,55 @@ class VectorStore:
                     fake_embedding(F.col("text"), self.dim).cast("array<float>")
                 ),
             )
+        # Append-only ingest: the batch is written as ONE new immutable
+        # segment and the next version's manifest = previous sources + the
+        # segment. Nothing existing is rewritten — at 100 TB a small batch
+        # costs O(batch), not O(corpus) (the old full-rewrite path cost a
+        # corpus copy per ingest). Segments carry library_id as a data
+        # column (no partitionBy); compact_chunks() folds them into the
+        # partition-pruned layout.
         v = self.versions()["chunks"]
-        prev = self.read_chunks()
-        combined = (
-            prev.unionByName(validated.select(*prev.columns))
-            if prev is not None
-            else validated
-        )
-        combined.write.mode("overwrite").partitionBy("library_id").parquet(
-            self._chunks_path(v + 1)
-        )
+        seg = os.path.join(self.root, "chunks", f"seg_{v + 1}")
+        validated.select(*_CHUNK_COLS).write.mode("overwrite").parquet(seg)
+        prev_sources = self._chunks_sources(v) or []
+        with open(self._chunks_manifest_path(v + 1), "w") as f:
+            json.dump(prev_sources + [seg], f)
         self._swap_pointer(chunks=v + 1)
         self._bump_dirty(validated)
         return v + 1
 
+    def _normalize(self, df: DataFrame) -> DataFrame:
+        """Common column order/types across partitioned dirs (library_id
+        inferred from directory names) and unpartitioned segments."""
+        return df.select(
+            *(F.col(c).cast(t).alias(c) for c, t in _CHUNK_TYPES)
+        )
+
     def read_chunks(self, version: int | None = None) -> DataFrame | None:
         v = self.versions()["chunks"] if version is None else version
-        path = self._chunks_path(v)
-        if not os.path.exists(path):
+        sources = self._chunks_sources(v)
+        if not sources:
             return None
-        return self.spark.read.parquet(path)
+        parts = [self._normalize(self.spark.read.parquet(p)) for p in sources]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def compact_chunks(self) -> int:
+        """Fold the manifest's segments into one partition-pruned rewrite —
+        the maintenance job that bounds small-file count and restores
+        partitionBy(library_id) pruning after a run of appends. Readers
+        pinned to older versions are untouched (segments are immutable)."""
+        cur = self.read_chunks()
+        if cur is None:
+            raise ValueError("empty store")
+        v = self.versions()["chunks"]
+        cur.write.mode("overwrite").partitionBy("library_id").parquet(
+            self._chunks_path(v + 1)
+        )
+        self._swap_pointer(chunks=v + 1)
+        return v + 1
 
     def update_chunk_text(self, chunk_id: int, new_text: str) -> int:
         """Copy-on-write update (reference ``entities.py:259-294``: updates

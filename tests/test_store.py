@@ -300,3 +300,46 @@ def test_update_library_and_document(spark, tmp_path):
         st.update_document(99, "nope")
     with pytest.raises(ValueError, match="non-empty"):
         st.update_document(10, "   ")
+
+
+def test_ingest_is_append_only_and_compaction_folds(spark, store):
+    """Ingest must cost O(batch), not O(corpus): each batch lands as one new
+    immutable segment plus a manifest — earlier segments' files are never
+    rewritten. compact_chunks() folds the segment list back into a single
+    partition-pruned layout with identical content; readers pinned to the
+    pre-compaction version still see their snapshot."""
+    import os
+
+    store.ingest_chunks(_chunk_rows(spark, 30, library_id=1))
+    seg1 = os.path.join(store.root, "chunks", "seg_1")
+    assert os.path.isdir(seg1)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(seg1, f)) for f in os.listdir(seg1)
+    }
+    store.ingest_chunks(_chunk_rows(spark, 20, library_id=2, start_doc=50))
+    store.ingest_chunks(_chunk_rows(spark, 10, library_id=1, start_doc=90))
+    # three versions = three manifests, segment 1 untouched by later ingests
+    assert os.path.exists(store._chunks_manifest_path(3))
+    assert {
+        f: os.path.getmtime(os.path.join(seg1, f)) for f in os.listdir(seg1)
+    } == mtimes
+    before = sorted(
+        (r.chunk_id, r.library_id, r.text)
+        for r in store.read_chunks().collect()
+    )
+    assert len(before) == 60
+
+    v = store.compact_chunks()
+    after = sorted(
+        (r.chunk_id, r.library_id, r.text)
+        for r in store.read_chunks().collect()
+    )
+    assert after == before
+    # compacted layout is a plain partitioned dir (pruning restored)
+    assert any(
+        d.startswith("library_id=")
+        for d in os.listdir(store._chunks_path(v))
+    )
+    # pinned reader: version 3 (manifest) still readable post-compaction
+    pinned = store.read_chunks(version=3)
+    assert pinned.count() == 60
