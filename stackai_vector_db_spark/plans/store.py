@@ -93,16 +93,23 @@ class VectorStore:
     def _chunks_manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "_meta", f"chunks_v{version}.json")
 
-    def _chunks_sources(self, version: int) -> list[str] | None:
-        """A chunks version is either a MANIFEST (list of immutable data
-        dirs — the append-only ingest path) or a plain rewritten dir
-        (update/delete/compact). Manifest wins if both exist."""
+    def _chunks_sources(self, version: int) -> dict | None:
+        """A chunks version is either a MANIFEST — ``{"data": [[dir, seq]…],
+        "deletes": [[file, seq]…]}`` of immutable segments (append-only
+        ingest / merge-on-read delete) — or a plain rewritten dir
+        (compaction). A delete file tombstones a chunk_id in data segments
+        with a LOWER seq only, so re-ingesting a previously deleted id
+        behaves like delete-then-create (Iceberg-style sequence rule).
+        Manifest wins if both exist."""
         mp = self._chunks_manifest_path(version)
         if os.path.exists(mp):
             with open(mp) as f:
-                return json.load(f)
+                m = json.load(f)
+            if isinstance(m, list):  # early manifest format: data dirs only
+                m = {"data": [[p, i] for i, p in enumerate(m)], "deletes": []}
+            return m
         p = self._chunks_path(version)
-        return [p] if os.path.exists(p) else None
+        return {"data": [[p, version]], "deletes": []} if os.path.exists(p) else None
 
     def _index_path(self, version: int) -> str:
         return os.path.join(self.root, "index", f"v{version}")
@@ -147,12 +154,32 @@ class VectorStore:
         v = self.versions()["chunks"]
         seg = os.path.join(self.root, "chunks", f"seg_{v + 1}")
         validated.select(*_CHUNK_COLS).write.mode("overwrite").parquet(seg)
-        prev_sources = self._chunks_sources(v) or []
-        with open(self._chunks_manifest_path(v + 1), "w") as f:
-            json.dump(prev_sources + [seg], f)
+        prev = self._chunks_sources(v) or {"data": [], "deletes": []}
+        self._write_manifest(
+            v + 1,
+            prev["data"] + [[seg, v + 1]],
+            prev["deletes"],
+        )
         self._swap_pointer(chunks=v + 1)
         self._bump_dirty(validated)
         return v + 1
+
+    def _write_manifest(self, version: int, data: list, deletes: list) -> None:
+        with open(self._chunks_manifest_path(version), "w") as f:
+            json.dump({"data": data, "deletes": deletes}, f)
+
+    def _tombstone(self, chunk_ids: DataFrame, new_version: int) -> None:
+        """Merge-on-read delete: write the matched ids as one small delete
+        file and advance the manifest — O(matched), never a corpus rewrite.
+        Readers anti-join tombstones onto lower-seq segments only."""
+        prev = self._chunks_sources(new_version - 1) or {"data": [], "deletes": []}
+        path = os.path.join(self.root, "chunks", f"del_{new_version}")
+        chunk_ids.select(F.col("chunk_id").cast("long")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        self._write_manifest(
+            new_version, prev["data"], prev["deletes"] + [[path, new_version]]
+        )
 
     def _normalize(self, df: DataFrame) -> DataFrame:
         """Common column order/types across partitioned dirs (library_id
@@ -164,13 +191,34 @@ class VectorStore:
     def read_chunks(self, version: int | None = None) -> DataFrame | None:
         v = self.versions()["chunks"] if version is None else version
         sources = self._chunks_sources(v)
-        if not sources:
+        if sources is None:
             return None
-        parts = [self._normalize(self.spark.read.parquet(p)) for p in sources]
+        parts = [
+            self._normalize(self.spark.read.parquet(p)).withColumn(
+                "__seq", F.lit(seq)
+            )
+            for p, seq in sources["data"]
+        ]
+        if not parts:
+            return None
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if sources["deletes"]:
+            dels = None
+            for p, seq in sources["deletes"]:
+                d = self.spark.read.parquet(p).select(
+                    F.col("chunk_id").alias("__del_id"),
+                    F.lit(seq).alias("__del_seq"),
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            out = out.join(
+                F.broadcast(dels),
+                (F.col("chunk_id") == F.col("__del_id"))
+                & (F.col("__del_seq") > F.col("__seq")),
+                "left_anti",
+            )
+        return out.drop("__seq")
 
     def compact_chunks(self) -> int:
         """Fold the manifest's segments into one partition-pruned rewrite —
@@ -196,42 +244,40 @@ class VectorStore:
         if not new_text.strip():
             raise ValueError("chunk text must be non-empty")
         cur = self.read_chunks()
-        if cur is None or cur.filter(F.col("chunk_id") == chunk_id).isEmpty():
+        old = cur.filter(F.col("chunk_id") == chunk_id) if cur is not None else None
+        if old is None or old.isEmpty():
             raise ValueError(f"chunk {chunk_id} not found")
-        updated = cur.withColumn(
-            "text",
-            F.when(F.col("chunk_id") == chunk_id, F.lit(new_text)).otherwise(
-                F.col("text")
-            ),
-        ).withColumn(
+        # Merge-on-read update = tombstone(old) + one-row segment(new):
+        # O(1 row) written, never a corpus rewrite. The new segment's seq
+        # equals the tombstone's, so only the OLD row is masked.
+        updated = old.withColumn("text", F.lit(new_text)).withColumn(
             "embedding",
-            F.when(
-                F.col("chunk_id") == chunk_id,
-                fake_embedding(F.lit(new_text), self.dim).cast("array<float>"),
-            ).otherwise(F.col("embedding")),
+            fake_embedding(F.lit(new_text), self.dim).cast("array<float>"),
         )
         v = self.versions()["chunks"] + 1
-        updated.write.mode("overwrite").partitionBy("library_id").parquet(
-            self._chunks_path(v)
-        )
+        self._tombstone(old.select("chunk_id"), v)
+        seg = os.path.join(self.root, "chunks", f"seg_{v}")
+        updated.select(*_CHUNK_COLS).coalesce(1).write.mode("overwrite").parquet(seg)
+        m = self._chunks_sources(v)
+        self._write_manifest(v, m["data"] + [[seg, v]], m["deletes"])
         self._swap_pointer(chunks=v)
-        self._bump_dirty(cur.filter(F.col("chunk_id") == chunk_id))
+        self._bump_dirty(old)
         return v
 
     # ---- cascade delete (J4, trace library_service.py:67-77) -------------
 
     def delete_documents(self, doc_ids: DataFrame) -> int:
-        """Anti-join compaction into a new chunks version (tombstone-free)."""
+        """Cascade delete, merge-on-read: resolve the affected chunk ids
+        (left-semi on document_id) into one tombstone file — O(matched)
+        written; compaction reclaims the space later."""
         cur = self.read_chunks()
         if cur is None:
             raise ValueError("empty store")
-        survivors = cur.join(
-            doc_ids.select(F.col("document_id")), "document_id", "left_anti"
-        )
+        matched = cur.join(
+            doc_ids.select(F.col("document_id")), "document_id", "left_semi"
+        ).select("chunk_id")
         v = self.versions()["chunks"] + 1
-        survivors.write.mode("overwrite").partitionBy("library_id").parquet(
-            self._chunks_path(v)
-        )
+        self._tombstone(matched, v)
         self._swap_pointer(chunks=v)
         return v
 
@@ -619,10 +665,10 @@ class VectorStore:
         )
         chunks = self.read_chunks()
         if chunks is not None:
-            survivors = chunks.filter(F.col("library_id") != library_id)
-            v = self.versions()["chunks"] + 1
-            survivors.write.mode("overwrite").partitionBy("library_id").parquet(
-                self._chunks_path(v)
+            matched = chunks.filter(F.col("library_id") == library_id).select(
+                "chunk_id"
             )
+            v = self.versions()["chunks"] + 1
+            self._tombstone(matched, v)
             self._swap_pointer(chunks=v)
         self._reset_dirty(library_id)

@@ -343,3 +343,48 @@ def test_ingest_is_append_only_and_compaction_folds(spark, store):
     # pinned reader: version 3 (manifest) still readable post-compaction
     pinned = store.read_chunks(version=3)
     assert pinned.count() == 60
+
+
+def test_merge_on_read_tombstones_and_sequence_rule(spark, store):
+    """Deletes/updates are O(matched) tombstone files, not corpus rewrites —
+    and a chunk_id re-ingested AFTER its tombstone is visible again
+    (sequence rule: a delete masks only lower-seq segments)."""
+    import os
+
+    store.ingest_chunks(_chunk_rows(spark, 20, library_id=1))
+    seg1 = os.path.join(store.root, "chunks", "seg_1")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(seg1, f)) for f in os.listdir(seg1)
+    }
+    victim_doc = 2  # doc_ids are 0..4 (i % 5)
+    n_victim = (
+        store.read_chunks().filter(F.col("document_id") == victim_doc).count()
+    )
+    assert n_victim > 0
+    store.delete_documents(
+        spark.createDataFrame([(victim_doc,)], "document_id long")
+    )
+    after = store.read_chunks()
+    assert after.filter(F.col("document_id") == victim_doc).count() == 0
+    assert after.count() == 20 - n_victim
+    # the delete wrote a tombstone, not a rewrite: segment files untouched,
+    # no new full version dir
+    assert {
+        f: os.path.getmtime(os.path.join(seg1, f)) for f in os.listdir(seg1)
+    } == mtimes
+    assert not os.path.exists(store._chunks_path(2))
+
+    # re-ingest one of the deleted chunk ids -> visible (newer seq wins)
+    revived = store.read_chunks(version=1).filter(
+        F.col("document_id") == victim_doc
+    ).limit(1)
+    rid = revived.collect()[0]["chunk_id"]
+    store.ingest_chunks(revived.drop("similarity_threshold"))
+    assert (
+        store.read_chunks().filter(F.col("chunk_id") == rid).count() == 1
+    )
+
+    # update: old text masked, new visible, exactly one row for the id
+    store.update_chunk_text(rid, "replacement text for revived chunk")
+    rows = store.read_chunks().filter(F.col("chunk_id") == rid).collect()
+    assert len(rows) == 1 and rows[0]["text"].startswith("replacement")
