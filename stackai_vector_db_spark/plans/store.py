@@ -396,7 +396,12 @@ class VectorStore:
         cents.write.mode("overwrite").parquet(
             os.path.join(self._index_path(new_v), "_centroids")
         )
-        self._swap_pointer(index=new_v, algorithm=algorithm)
+        # Record which chunks version the index reflects: query-time
+        # tombstone-skip applies only deletes NEWER than this (older ones
+        # were already excluded by the merge-on-read build scan).
+        self._swap_pointer(
+            index=new_v, algorithm=algorithm, index_chunks=self.versions()["chunks"]
+        )
         self._reset_dirty(library_id)
         return new_v
 
@@ -426,13 +431,41 @@ class VectorStore:
         )
         idx, cents = self.read_index(version)
         probes = probe_clusters(q, cents, nprobe)
-        cand = idx.join(
-            F.broadcast(probes.select("cluster_id").distinct()), "cluster_id"
+        cand = self._skip_tombstones(
+            idx.join(
+                F.broadcast(probes.select("cluster_id").distinct()), "cluster_id"
+            )
         )
         hits = brute_force_topk(
             q, cand, k, id_col="chunk_id", vec_col="embedding"
         ).withColumnRenamed("vec_id", "chunk_id")
         return self._hydrate_and_threshold(hits, idx)
+
+    def _live_tombstones(self) -> DataFrame | None:
+        """Chunk ids deleted SINCE the current index was built — the
+        reference's query-time tombstone skip (``linear.py:53-54``,
+        ``ivf.py:57-59``: removed vectors stay in the structure until
+        rebuild but are skipped during scans). Tombstone files are tiny →
+        broadcast anti-join, no index rewrite."""
+        vs = self.versions()
+        since = vs.get("index_chunks", vs["chunks"])
+        m = self._chunks_sources(vs["chunks"])
+        if not m:
+            return None
+        paths = [p for p, seq in m["deletes"] if seq > since]
+        if not paths:
+            return None
+        out = None
+        for p in paths:
+            d = self.spark.read.parquet(p).select("chunk_id")
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    def _skip_tombstones(self, cand: DataFrame) -> DataFrame:
+        dead = self._live_tombstones()
+        if dead is None:
+            return cand
+        return cand.join(F.broadcast(dead), "chunk_id", "left_anti")
 
     def _hydrate_and_threshold(self, hits: DataFrame, idx: DataFrame) -> DataFrame:
         """J1 hydration + P6 per-chunk similarity_threshold post-filter
@@ -474,8 +507,10 @@ class VectorStore:
         )
         idx, cents = self.read_index(version)
         probes = probe_clusters(q, cents, nprobe)
-        cand = idx.join(
-            F.broadcast(probes.select("cluster_id").distinct()), "cluster_id"
+        cand = self._skip_tombstones(
+            idx.join(
+                F.broadcast(probes.select("cluster_id").distinct()), "cluster_id"
+            )
         )
         hits = brute_force_topk(
             q, cand, k, id_col="chunk_id", vec_col="embedding"

@@ -388,3 +388,27 @@ def test_merge_on_read_tombstones_and_sequence_rule(spark, store):
     store.update_chunk_text(rid, "replacement text for revived chunk")
     rows = store.read_chunks().filter(F.col("chunk_id") == rid).collect()
     assert len(rows) == 1 and rows[0]["text"].startswith("replacement")
+
+
+def test_search_skips_tombstones_without_rebuild(spark, store):
+    """Reference parity (linear.py:53-54): chunks deleted AFTER the index
+    build must not surface in search results even before a rebuild — the
+    query-time tombstone skip, as a broadcast anti-join on the (tiny)
+    delete files."""
+    store.ingest_chunks(_chunk_rows(spark, 30, library_id=1))
+    store.build_index(1, n_clusters=2)
+    text = "chunk text number 7 for library 1 with words"
+    pre = store.search_text(1, text, k=5)
+    assert pre.count() > 0
+    victim = pre.collect()[0]["chunk_id"]
+    victim_doc = pre.collect()[0]["document_id"]
+    store.delete_documents(
+        spark.createDataFrame([(victim_doc,)], "document_id long")
+    )
+    post = store.search_text(1, text, k=5)
+    got_ids = {r["chunk_id"] for r in post.collect()}
+    assert victim not in got_ids
+    # rebuild reclaims: same query, still no victim, index size shrank
+    store.build_index(1, n_clusters=2)
+    idx, _ = store.read_index()
+    assert idx.filter(F.col("chunk_id") == victim).isEmpty()
