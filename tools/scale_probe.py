@@ -69,12 +69,19 @@ def main() -> None:
     )
 
     results = {}
+    exact = None
     for strategy in ("window", "prereduce"):
         t0 = time.perf_counter()
         out = brute_force_topk(q, vecs, k, strategy=strategy)
-        rows = out.count()
+        got = {(r["qid"], r["vec_id"]) for r in out.collect()}
         results[f"knn_{strategy}_s"] = round(time.perf_counter() - t0, 3)
-        assert rows == nq * k
+        assert len(got) == nq * k
+        exact = got
+
+    def recall(df) -> float:
+        """recall@k of an approximate result set vs the exact top-k."""
+        got = {(r["qid"], r["vec_id"]) for r in df.select("qid", "vec_id").collect()}
+        return round(len(got & exact) / len(exact), 4)
 
     t0 = time.perf_counter()
     cents = label_mean_centroids(vecs).persist()
@@ -86,7 +93,8 @@ def main() -> None:
     results["ivf_build_s"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    rows = ivf_search(q, assigned, cents, k, nprobe=2).count()
+    ivf_out = ivf_search(q, assigned, cents, k, nprobe=2)
+    results["ivf_recall_np2"] = recall(ivf_out)
     results["ivf_search_np2_s"] = round(time.perf_counter() - t0, 3)
 
     # kNN-graph probe: EVERY vector queries the corpus (Q = N) through the
@@ -138,13 +146,14 @@ def main() -> None:
     codes.count()
     results["pq_encode_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    rows = adc_topk(q, codes, cb, k).count()
+    adc_out = adc_topk(q, codes, cb, k)
+    results["pq_adc_recall"] = recall(adc_out)
     results["pq_adc_s"] = round(time.perf_counter() - t0, 3)
-    assert rows == nq * k
     coded = codes.join(assigned.select("vec_id", "cluster_id"), "vec_id").persist()
     coded.count()
     t0 = time.perf_counter()
-    ivf_pq_search(q, coded, cents, cb, k, nprobe=2).count()
+    ivfpq_out = ivf_pq_search(q, coded, cents, cb, k, nprobe=2)
+    results["ivf_pq_recall_np2"] = recall(ivfpq_out)
     results["ivf_pq_search_np2_s"] = round(time.perf_counter() - t0, 3)
 
     # Dedup probe: MinHash-LSH over synthetic docs from the custom source
