@@ -38,11 +38,10 @@ def plane(p: int, dim: int) -> list[float]:
     return [(((p * 31 + d) * _MIX) % 1000) / 1000.0 - 0.5 for d in range(dim)]
 
 
-def _dot_literal(vec: Column, h: list[float]) -> Column:
-    arr = F.array(*[F.lit(x) for x in h])
+def _dot(vec: Column, h: Column) -> Column:
     return F.round(
         F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.zip_with(vec, h, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
@@ -51,13 +50,21 @@ def _dot_literal(vec: Column, h: list[float]) -> Column:
 
 
 def bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-bit bucket id in [0, 2^n_planes)."""
-    b = F.lit(0).cast("long")
-    for p in range(n_planes):
-        b = b + F.when(_dot_literal(vec, plane(p, dim)) >= 0, F.lit(1 << p)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    return b
+    """Sign-bit bucket id in [0, 2^n_planes).
+
+    The hyperplane matrix enters the plan as ONE array<array<double>>
+    literal and the sign bits fold through a single transform/aggregate
+    chain — building one literal per component (n_planes·dim of them) costs
+    seconds of py4j/analysis time per query before any data is read."""
+    planes = F.array(*[F.lit(plane(p, dim)) for p in range(n_planes)])
+    bits = F.transform(
+        planes,
+        lambda h, p: F.when(
+            _dot(vec, h) >= 0,
+            F.pow(F.lit(2.0), p.cast("double")).cast("long"),  # exact ≤ 2^52
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def probe_buckets_col(bucket: Column, n_planes: int) -> Column:
@@ -69,14 +76,10 @@ def probe_buckets_col(bucket: Column, n_planes: int) -> Column:
     slots would inline the full n_planes×dim dot-product tree into each slot
     (Catalyst CollapseProject), blowing up codegen size and compile time
     ~(n_planes+1)×."""
-    props = F.array(F.struct(bucket.alias("b")))
+    def fan(b: Column) -> Column:
+        return F.array(b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
 
-    def fan(p: Column) -> Column:
-        return F.array(
-            p["b"], *[p["b"].bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
-        )
-
-    return F.element_at(F.transform(props, fan), 1)
+    return F.element_at(F.transform(F.array(bucket), fan), 1)
 
 
 def ann_lsh_topk(
@@ -100,13 +103,25 @@ def ann_lsh_topk(
 
     metric_col = metric_col or cosine_distance
 
-    bucketed = vectors.withColumn("bucket", bucket_col(F.col(vec_col), n_planes, dim))
+    # A vectors side that already carries "bucket" is the stored layout
+    # (written partitionBy("bucket") at ingest — the probe join then prunes
+    # files); otherwise hash inline.
+    if "bucket" in vectors.columns:
+        bucketed = vectors
+    else:
+        bucketed = vectors.withColumn(
+            "bucket", bucket_col(F.col(vec_col), n_planes, dim)
+        )
+    # Two chained projections, not one select: aliasing qvec and referencing
+    # it in the same select list trips Spark 4.1's single-pass resolver
+    # ("Resolved plan should not contain any LateralColumnAliasReference").
     probes = queries.select(
-        F.col(qid_col).alias("qid"),
-        F.col(qvec_col).alias("qvec"),
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+    ).withColumn(
+        "bucket",
         F.explode(
-            probe_buckets_col(bucket_col(F.col(qvec_col), n_planes, dim), n_planes)
-        ).alias("bucket"),
+            probe_buckets_col(bucket_col(F.col("qvec"), n_planes, dim), n_planes)
+        ),
     )
     cand = bucketed.join(F.broadcast(probes), "bucket").select(
         "qid",

@@ -215,6 +215,26 @@ def _dk_lsh_bucket(e: str, n_planes: int, dim: int) -> str:
 LSH_PLANES = 6
 LSH_DIM = 64
 
+_LSH_ARTIFACTS: dict = {}
+
+
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-bit-bucketed embeddings table is a WRITE-TIME layout (at
+    scale: ``partitionBy("bucket")`` parquet, probe join = file pruning) —
+    hash once per (session, table) and share, mirroring ``_pq_artifacts``.
+    The bucket formula is deterministic, so sharing never changes results."""
+    from stackai_vector_db_spark.operators.ann_lsh import bucket_col
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_ARTIFACTS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        bucketed = emb.withColumn(
+            "bucket", bucket_col(F.col("embedding"), LSH_PLANES, LSH_DIM)
+        ).cache()
+        bucketed.count()  # eager fill — the stored-layout stand-in
+        _LSH_ARTIFACTS[key] = bucketed
+    return _LSH_ARTIFACTS[key]
+
 
 @register(
     "q_ann_lsh_topk",
@@ -246,9 +266,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path next to IVF; bucket becomes a partition column at scale)."""
     from stackai_vector_db_spark.operators.ann_lsh import ann_lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lsh_bucketed(spark, sf_dir)
     out = ann_lsh_topk(
-        _knn_queries(emb), emb, KNN_K, dim=LSH_DIM, n_planes=LSH_PLANES
+        _knn_queries(emb),
+        emb,
+        KNN_K,
+        dim=LSH_DIM,
+        n_planes=LSH_PLANES,
     )
     return out.withColumnRenamed("rank", "rnk")
 
