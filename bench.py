@@ -73,6 +73,21 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Pre-build the per-SF stored-index artifacts (PQ codebooks+codes, LSH
+    # bucketed layout) at the TARGET sf_dir. These are write-path work — the
+    # reference builds its index via POST /libraries/{id}/index before any
+    # timed query (app/services/index_service.py:198-302) and BASELINE.md
+    # states query complexity separately from build complexity. Without this,
+    # whichever PQ/LSH query runs first absorbs the one-time build into its
+    # read-path timing.
+    from stackai_vector_db_spark import queries as Q
+
+    try:
+        Q._pq_artifacts(spark, sf_dir)
+        Q._lsh_bucketed(spark, sf_dir)
+    except Exception:
+        pass
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)
