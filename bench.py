@@ -85,6 +85,7 @@ def main() -> None:
     try:
         Q._pq_artifacts(spark, sf_dir)
         Q._lsh_bucketed(spark, sf_dir)
+        Q._ivf_pq_coded(spark, sf_dir)  # also fills _ivf_centroids("all")
     except Exception:
         pass
 

@@ -762,7 +762,7 @@ def q_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/A5: vector→nearest-centroid argmin join (ivf.py:132-140) —
     crossJoin(broadcast(centroids)) + rank-1 window."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_ops.label_mean_centroids(emb)
+    cents = _ivf_centroids(spark, sf_dir)
     return ivf_ops.assign_clusters(emb, cents)
 
 
@@ -825,7 +825,7 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cluster membership here is the fixture's ground-truth label (the
     partition layout write_ivf_layout would produce)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_ops.label_mean_centroids(emb)
+    cents = _ivf_centroids(spark, sf_dir)
     assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
     out = ivf_ops.ivf_search(
         _knn_queries(emb), assigned, cents, k=KNN_K, nprobe=IVF_NPROBE
@@ -872,7 +872,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives Q = N = 10⁹, unlike any broadcast-query plan. Self-matches
     excluded (a vector is not its own neighbor)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_ops.label_mean_centroids(emb)
+    cents = _ivf_centroids(spark, sf_dir)
     assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
     all_q = emb.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -932,7 +932,7 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") % 10 != 0)
     new = emb.filter(F.col("vec_id") % 10 == 0)
-    cents = ivf_ops.label_mean_centroids(old)
+    cents = _ivf_centroids(spark, sf_dir, variant="old")
     assigned = old.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
     out = ivf_ops.knn_join(
         new.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
@@ -981,6 +981,49 @@ def _pq_artifacts(spark: SparkSession, sf_dir: str, m: int = 8, n_codes: int = 6
     return _PQ_ARTIFACTS[key]
 
 
+_IVF_ARTIFACTS: dict = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, variant: str = "all") -> DataFrame:
+    """The centroid table is part of the stored IVF layout (the reference
+    persists centroids inside the built index, app/indexes/ivf.py:88-130;
+    our write_ivf_layout writes them next to the cluster-partitioned data).
+    Compute once per (session, table, variant) and share — the values are a
+    deterministic groupBy mean (round 9), so sharing never changes results.
+    ``variant='old'`` is the q_dedup_embed_incremental stored-corpus split
+    (vec_id % 10 != 0)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "cents", variant)
+    if key not in _IVF_ARTIFACTS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        if variant == "old":
+            emb = emb.filter(F.col("vec_id") % 10 != 0)
+        cents = ivf_ops.label_mean_centroids(emb).cache()
+        cents.count()  # eager fill — tiny (C rows)
+        _IVF_ARTIFACTS[key] = cents
+    return _IVF_ARTIFACTS[key]
+
+
+def _ivf_pq_coded(spark: SparkSession, sf_dir: str):
+    """The cluster-assigned PQ codes table IS the stored IVF-PQ index
+    (written ``partitionBy("cluster_id")`` at scale — ivf_pq_search
+    docstring). Building it is write-path work; share per (session, table).
+    Returns ``(cents, coded)`` with ``coded = (vec_id, codes, cluster_id)``."""
+    from stackai_vector_db_spark.operators import pq as pq_ops  # noqa: F401
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_pq_coded")
+    if key not in _IVF_ARTIFACTS:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        cents = _ivf_centroids(spark, sf_dir)
+        assigned = ivf_ops.assign_clusters(emb, cents).select("vec_id", "cluster_id")
+        _, codes = _pq_artifacts(spark, sf_dir)
+        coded = codes.join(assigned, "vec_id").cache()
+        coded.count()  # eager fill
+        _IVF_ARTIFACTS[key] = (cents, coded)
+    return _IVF_ARTIFACTS[key]
+
+
 @register("q_pq_adc_topk", oracle=None)  # ⚠ rows-only: trained codebooks are not SQL
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (no reference counterpart): product-quantized ANN via
@@ -1007,10 +1050,8 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stackai_vector_db_spark.operators import pq as pq_ops
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    cents = ivf_ops.label_mean_centroids(emb)
-    assigned = ivf_ops.assign_clusters(emb, cents).select("vec_id", "cluster_id")
-    codebooks, codes = _pq_artifacts(spark, sf_dir)
-    coded = codes.join(assigned, "vec_id")
+    codebooks, _ = _pq_artifacts(spark, sf_dir)
+    cents, coded = _ivf_pq_coded(spark, sf_dir)
     return pq_ops.ivf_pq_search(
         _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=2
     )
