@@ -1548,6 +1548,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # No repartition before scoring: per-row scoring cost here is comparable
+    # to a text-body exchange, so a round-robin repartition would trade a
+    # free map-side stage for a 100 TB shuffle. At scale the input is many
+    # files and the scoring stage parallelizes on natural splits.
     # Dedup key = sha2(text): the document body is scored map-side and then
     # DROPPED before the dedup exchange — only (32-byte key, id, lang, score,
     # words) shuffle. Same groups as keying on text (no collisions at any
