@@ -2454,6 +2454,44 @@ def q_embed_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order box query: fixed domain bounds + box (constants so the DuckDB
+# oracle — which knows nothing about Morton codes — is the PLAIN box filter;
+# the z-interval is a redundant superset predicate that only narrows reads).
+ZBOX_SPECS = [("l_quantity", 0.0, 51.0), ("l_extendedprice", 0.0, 110000.0)]
+ZBOX = [(10.0, 20.0), (20000.0, 40000.0)]
+
+
+@register(
+    "q_zorder_box",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN {ZBOX[0][0]} AND {ZBOX[0][1]}
+      AND l_extendedprice BETWEEN {ZBOX[1][0]} AND {ZBOX[1][1]}
+    GROUP BY l_returnflag
+    """,
+)
+def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference KD-tree's pruning contract (kdtree.py:129-151, dropped
+    per SURVEY.md §4.1) re-expressed as Z-order clustering: a 2-D box query
+    runs as a 1-D Morton-interval prune + exact refine. On a z-ordered
+    layout (operators/zorder.py:write_zordered) the interval predicate
+    skips files via parquet stats; semantics are identical to the naive box
+    filter, which is exactly what the oracle checks."""
+    from stackai_vector_db_spark.operators import zorder as z_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    boxed = z_ops.box_filter(li, ZBOX_SPECS, ZBOX)
+    return boxed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 
