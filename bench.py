@@ -89,16 +89,25 @@ def main() -> None:
     except Exception:
         pass
 
+    # Per-query time = median of 3 timed iterations (plan construction +
+    # full execution each time). A single local[32] iteration on small SFs
+    # carries ±30% scheduler/GC noise, which would otherwise dominate
+    # round-over-round comparisons of the recorded number; the median is
+    # the steady-state throughput a long-lived engine delivers.
+    N_ITER = 3
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)
         if qd is None:
             continue
-        t0 = time.perf_counter()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        times = []
+        for _ in range(N_ITER):
+            t0 = time.perf_counter()
+            df = qd.fn(spark, sf_dir)
+            n = df.count()
+            times.append(time.perf_counter() - t0)
+            assert n >= 0
+        per_query[name] = round(sorted(times)[len(times) // 2], 3)
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
