@@ -90,3 +90,44 @@ def test_fake_embedding_matches_reference_on_arbitrary_unicode(spark, text, dim)
     assert len(row.e) == dim
     for got, want in zip(row.e, expected):
         assert math.isclose(got, want, rel_tol=0, abs_tol=1e-12), (text, dim)
+
+
+# --- Z-order Morton interval: superset property on arbitrary geometry ----
+
+_zdomain = st.tuples(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+).filter(lambda t: t[1] - t[0] > 1e-6)
+
+
+@st.composite
+def _zcase(draw):
+    n_dims = draw(st.integers(min_value=1, max_value=3))
+    specs, box, point = [], [], []
+    for d in range(n_dims):
+        lo, hi = sorted(draw(_zdomain))
+        if hi - lo <= 1e-6:
+            hi = lo + 1.0
+        blo = draw(st.floats(min_value=lo, max_value=hi, allow_nan=False))
+        bhi = draw(st.floats(min_value=blo, max_value=hi, allow_nan=False))
+        p = draw(st.floats(min_value=blo, max_value=bhi, allow_nan=False))
+        specs.append((f"c{d}", lo, hi))
+        box.append((blo, bhi))
+        point.append(p)
+    return specs, box, point
+
+
+@settings(max_examples=300, deadline=None)
+@given(_zcase())
+def test_zorder_interval_superset_pure(case):
+    """Any point inside any box over any domain has a Morton code within
+    [z(lo_corner), z(hi_corner)] — pure-python twin of the SQL key (the SQL
+    vs driver quantizer agreement is tested in tests/test_zorder.py), so
+    hundreds of random geometries run without a Spark job."""
+    from stackai_vector_db_spark.operators.zorder import zorder_interval
+
+    specs, box, point = case
+    z_lo, z_hi = zorder_interval(specs, box)
+    z_p, z_p2 = zorder_interval(specs, [(p, p) for p in point])
+    assert z_p == z_p2
+    assert z_lo <= z_p <= z_hi
