@@ -82,12 +82,17 @@ def main() -> None:
     # read-path timing.
     from stackai_vector_db_spark import queries as Q
 
+    t_build = time.perf_counter()
     try:
         Q._pq_artifacts(spark, sf_dir)
         Q._lsh_bucketed(spark, sf_dir)
         Q._ivf_pq_coded(spark, sf_dir)  # also fills _ivf_centroids("all")
-    except Exception:
-        pass
+    except Exception as exc:  # keep the timed loop alive, but never silently
+        print(f"bench: artifact pre-build FAILED: {exc!r}", file=sys.stderr)
+    print(
+        f"bench: artifact pre-build {time.perf_counter() - t_build:.1f}s",
+        file=sys.stderr,
+    )
 
     # Per-query time = median of 3 timed iterations (plan construction +
     # full execution each time). A single local[32] iteration on small SFs
