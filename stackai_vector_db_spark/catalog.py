@@ -37,15 +37,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read it as raw nanos and re-expose a microsecond
+        # events.ts has shipped as either parquet TIMESTAMP(MICROS) (read
+        # natively) or TIMESTAMP(NANOS), which Spark rejects by default; in
+        # the nanos case read it as raw nanos and re-expose a microsecond
         # TIMESTAMP (same truncation DuckDB applies ns→us, so window
         # boundaries and epoch_ms outputs agree with the oracle).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Normalize NTZ → TIMESTAMP without going through the session
+            # timezone (a plain cast would shift by the driver's tz):
+            # NTZ-to-NTZ timestampdiff is pure arithmetic, and
+            # timestamp_micros builds the instant straight from epoch
+            # micros, so the wall-clock value is read as UTC — matching
+            # DuckDB's epoch_ms on the same naive timestamps.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"
+                ),
+            )
+        return df
     return spark.read.parquet(path)
 
 

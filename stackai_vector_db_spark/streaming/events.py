@@ -25,8 +25,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# Raw parquet schema (ts kept as nanos LONG — see catalog.load_table note).
+# Raw parquet schema (ts as written by the driver — see catalog.load_table
+# note; TIMESTAMP_NTZ in current fixtures, nanos LONG in older ones).
 EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_DDL_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
@@ -34,18 +39,34 @@ EVENTS_DDL = (
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with the same ts
-    normalization as the batch loader (nanos → microsecond TIMESTAMP)."""
+    normalization as the batch loader (→ microsecond TIMESTAMP, read as
+    UTC wall clock independent of session timezone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source requires a *directory*; expose the single
     # fixture file through a temp dir of symlinks (on a real deployment the
     # source is an arrival directory already).
     import tempfile
 
+    from pyspark.sql.types import LongType
+
     src = os.path.join(sf_dir, "events.parquet")
     d = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(d, "events.parquet"))
+    # Probe the batch reader for the fixture's actual ts type.
+    is_nanos = isinstance(
+        spark.read.parquet(src).schema["ts"].dataType, LongType
+    )
+    if is_nanos:
+        df = spark.readStream.schema(EVENTS_DDL_NANOS).parquet(d)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     df = spark.readStream.schema(EVENTS_DDL).parquet(d)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"
+        ),
+    )
 
 
 def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
