@@ -184,17 +184,30 @@ def q_knn_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT qid, vec_id, dist,
              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
       FROM scored)
-    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= 5
+    SELECT qid, vec_id, CAST(round(dist * 1000000) AS BIGINT) AS dist_micro,
+           rnk::INTEGER AS rnk
+    FROM ranked WHERE rnk <= 5
     """,
 )
 def q_knn_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative window form (W1), cosine metric — the correctness
-    baseline plan: crossJoin(broadcast) + row_number window."""
+    baseline plan: crossJoin(broadcast) + row_number window.
+
+    Distances are emitted as integer micro-units (round(dist·1e6) BIGINT):
+    a cosine self-match rounds to zero, and DuckDB's float-arithmetic round
+    yields -0.0 where Spark's BigDecimal round yields +0.0 — integerizing
+    the output is the permanent fix for that hash-failure class. Ranking
+    still happens on the 6-decimal-rounded DOUBLE before conversion."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = knn_ops.brute_force_topk(
         _knn_queries(emb), emb, 5, metric="cosine", strategy="window"
     )
-    return out.withColumnRenamed("rank", "rnk")
+    return out.withColumnRenamed("rank", "rnk").select(
+        "qid",
+        "vec_id",
+        F.round(F.col("dist") * 1000000).cast("long").alias("dist_micro"),
+        "rnk",
+    )
 
 
 def _dk_lsh_bucket(e: str, n_planes: int, dim: int) -> str:
@@ -257,13 +270,18 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT qid, vec_id, dist,
              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
       FROM cand)
-    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= {KNN_K}
+    SELECT qid, vec_id, CAST(round(dist * 1000000) AS BIGINT) AS dist_micro,
+           rnk::INTEGER AS rnk
+    FROM ranked WHERE rnk <= {KNN_K}
     """,
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate kNN: random-hyperplane sign buckets +
     hamming-1 multi-probe + exact rank within candidates (the second ANN
-    scale path next to IVF; bucket becomes a partition column at scale)."""
+    scale path next to IVF; bucket becomes a partition column at scale).
+
+    Emits dist as integer micro-units — see q_knn_window_rank for why
+    (cosine zero-distance self-matches round to -0.0 in DuckDB)."""
     from stackai_vector_db_spark.operators.ann_lsh import ann_lsh_topk
 
     emb = _lsh_bucketed(spark, sf_dir)
@@ -274,7 +292,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=LSH_DIM,
         n_planes=LSH_PLANES,
     )
-    return out.withColumnRenamed("rank", "rnk")
+    return out.withColumnRenamed("rank", "rnk").select(
+        "qid",
+        "vec_id",
+        F.round(F.col("dist") * 1000000).cast("long").alias("dist_micro"),
+        "rnk",
+    )
 
 
 @register(
@@ -354,15 +377,22 @@ _DK_WORDS = (
              ) AS emb
       FROM props)
     SELECT doc_id, cs, n_len, n_words,
-           round(emb[1], 6) AS c0,
-           round(emb[{FAKE_DIM}], 6) AS c_last,
-           round(list_sum(emb), 6) AS emb_sum
+           CAST(round(round(emb[1], 6) * 1000000) AS BIGINT) AS c0_micro,
+           CAST(round(round(emb[{FAKE_DIM}], 6) * 1000000) AS BIGINT) AS c_last_micro,
+           CAST(round(round(list_sum(emb), 6) * 1000000) AS BIGINT) AS emb_sum_micro
     FROM comps
     """,
 )
 def q_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-unit integer outputs for the embedding components: a component
+    sum that decimally cancels to zero carries float error whose round()
+    is -0.0 in DuckDB but +0.0 in Spark (same class as q_knn_window_rank;
+    caught by the sign-exact oracle gate at sf0.001)."""
     docs = load_table(spark, sf_dir, "documents")
     from stackai_vector_db_spark.functions.text import char_sum, token_count_ws
+
+    def micro(c):
+        return F.round(F.round(c, 6) * 1000000).cast("long")
 
     clean = F.lower(F.trim(F.col("text")))
     emb = fake_embedding(F.col("text"), FAKE_DIM)
@@ -371,11 +401,11 @@ def q_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_sum(clean).alias("cs"),
         F.length(clean).cast("long").alias("n_len"),
         token_count_ws(clean).cast("long").alias("n_words"),
-        F.round(emb[0], 6).alias("c0"),
-        F.round(emb[FAKE_DIM - 1], 6).alias("c_last"),
-        F.round(
-            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 6
-        ).alias("emb_sum"),
+        micro(emb[0]).alias("c0_micro"),
+        micro(emb[FAKE_DIM - 1]).alias("c_last_micro"),
+        micro(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "emb_sum_micro"
+        ),
     )
 
 
@@ -1419,7 +1449,8 @@ COSINE_DUP_TAU = 0.7
     "q_dedup_cosine",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_dk_cosine('a.embedding', 'b.embedding')} AS dist
+           CAST(round({_dk_cosine('a.embedding', 'b.embedding')} * 1000000) AS BIGINT)
+             AS dist_micro
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_dk_cosine('a.embedding', 'b.embedding')} < {COSINE_DUP_TAU}
@@ -1429,7 +1460,9 @@ def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: blocked self-join keeping pairs with
     cosine distance under τ (angular similarity > 1-τ). Same blocked shape
     as q_dedup_near; the metric is the one used for text-embedding dedup in
-    LLM pipelines."""
+    LLM pipelines. Emits micro-unit integer distances (see
+    q_knn_window_rank): exact-duplicate embeddings cosine-round to zero,
+    where DuckDB emits -0.0 and Spark +0.0."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
@@ -1446,6 +1479,11 @@ def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_distance("va", "vb"), 6).alias("dist"),
         )
         .filter(F.col("dist") < COSINE_DUP_TAU)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dist") * 1000000).cast("long").alias("dist_micro"),
+        )
     )
 
 

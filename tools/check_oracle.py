@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -22,10 +23,18 @@ from stackai_vector_db_spark.queries import REGISTRY  # noqa: E402
 from stackai_vector_db_spark.session import get_spark  # noqa: E402
 
 
+STRICT = os.environ.get("ORACLE_STRICT", "1") == "1"
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            # full-precision, sign-of-zero-exact repr — mirrors the driver's
+            # value hash, which catches both low-bit double differences and
+            # -0.0 vs +0.0 (the q_knn_window_rank round-1 failure class)
+            return repr(v)
         # collapse -0.0 and format consistently
         if v == 0:
             v = 0.0
