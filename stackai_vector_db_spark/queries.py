@@ -2530,9 +2530,61 @@ def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sweep order for the driver's correctness pass, cheapest first (measured
+# Spark+oracle cost at sf0.01, tools/time_queries.py). The driver iterates
+# queries() in dict order under a time budget; rounds 1-2 proved that
+# registering artifact-heavy queries mid-list starves everything after them
+# of a driver row. Ordering rules: (1) sub-second scans/filters/joins/aggs
+# first, (2) 1-3s operator queries next, (3) the heavy iterative
+# hash-checked queries after that, (4) rows-only queries last — they get
+# the weakest check anyway, so a budget cut costs the least there.
+SWEEP_ORDER = [
+    # tier 1: sub-second
+    "q_filter_ci_name", "q_ingest_validate", "q_token_count",
+    "q_filter_fk", "q_count_distinct", "q_union_libraries",
+    "q_dirty_ratio", "q_quality_score", "q_sample_hash", "q_pagination",
+    "q_text_stats", "q_dedup_exact", "q_lang_id", "q_agg_cube",
+    "q_cluster_stats", "q_count_by_group", "q_point_lookup",
+    "q_fingerprint", "q_filter_missing_emb", "q_index_stats",
+    "q_anti_tombstone", "q_except_deleted", "q_dedup_near",
+    "q_semi_exists", "q_top_terms", "q_scan_project", "q_agg_rollup",
+    "q_dim_check", "q_threshold_filter", "q_simhash", "q_cascade_anti",
+    "q_percentile", "q_tpch_q3", "q_join_smj", "q_join_broadcast",
+    "q_tpch_q5", "q_json_extract", "q_window_frame", "q_window_lag",
+    "q_fn_cosine", "q_fn_euclidean", "q_knn_window_rank",
+    "q_knn_brute_topk", "q_approx_distinct",
+    # tier 2: events + 1-3s operator queries
+    "q_events_tumbling", "q_events_session", "q_events_sliding",
+    "q_events_dedup", "q_asof_join", "q_range_join", "q_zorder_box",
+    "q_corpus_pipeline", "q_join_hits_chunks", "q_dedup_cosine",
+    "q_assign_centroid", "q_ivf_probe_topk", "q_knn_graph",
+    "q_dedup_minhash_lsh", "q_dedup_embed_incremental", "q_simhash_near",
+    "q_ngram_jaccard", "q_embed_knn_e2e", "q_fake_embed",
+    "q_ann_lsh_topk", "q_dedup_incremental",
+    # tier 3: heavy iterative, hash-checked
+    "q_dedup_components",
+    # tier 4: rows-only (weakest check loses least under a budget cut)
+    "q_multimodal_features", "q_pq_adc_topk", "q_ivf_pq_topk",
+    "q_kmeans_build",
+]
+
+
+def _ordered() -> list[str]:
+    """SWEEP_ORDER plus any query registered but not yet listed (appended at
+    the end so a forgotten entry still gets swept)."""
+    missing = [n for n in REGISTRY if n not in SWEEP_ORDER]
+    unknown = [n for n in SWEEP_ORDER if n not in REGISTRY]
+    assert not unknown, f"SWEEP_ORDER names unregistered queries: {unknown}"
+    return SWEEP_ORDER + missing
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered()
+        if REGISTRY[name].oracle is not None
+    }
