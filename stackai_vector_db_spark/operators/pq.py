@@ -127,6 +127,25 @@ def _sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
     )
 
 
+def _topk_idx(dists: np.ndarray, vids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the kk smallest by the engine's total order (dist, vid).
+
+    argpartition gives the kk smallest distances in O(B); ties at the
+    kth distance are then resolved exactly by a lexsort over only the
+    threshold-passing rows (t ≈ kk, so O(B + t log t) replaces the old
+    full O(B log B) sort). Tie-exactness keeps local pre-reduction
+    lossless w.r.t. the global (dist, vec_id) window — the partitioning-
+    invariance contract of tests/test_determinism.py."""
+    b = dists.shape[0]
+    if kk >= b:
+        return np.lexsort((vids, dists))
+    part_idx = np.argpartition(dists, kk - 1)[:kk]
+    thr = dists[part_idx].max()
+    cand = np.flatnonzero(dists <= thr)
+    order = cand[np.lexsort((vids[cand], dists[cand]))]
+    return order[:kk]
+
+
 def codebooks_to_df(spark: SparkSession, codebooks: np.ndarray) -> DataFrame:
     """Codebooks as a (sub, code, centroid) DataFrame for parquet persistence."""
     rows = [
@@ -208,23 +227,28 @@ def adc_topk(
         qsub = qmat[:, sub * d_sub : (sub + 1) * d_sub]
         luts[:, sub, :] = _sq_dists(qsub, codebooks[sub])
 
+    # Flatten LUTs to (Q, M·K) so one fancy-index gathers every query's
+    # subspace distances at once (the round-1 kernel looped queries serially
+    # and full-sorted every batch — 26% of the whole headline bench).
+    luts_flat = luts.reshape(qmat.shape[0], m * n_k)
+
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sub_idx = np.arange(m)
+        offs = np.arange(m, dtype=np.int64) * n_k  # code j of sub s → s·K + j
         for pdf in batches:
             if pdf.empty:
                 continue
             vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # B × M
             kk = min(k, cmat.shape[0])
+            flat_codes = cmat + offs[None, :]  # B × M indices into M·K
+            d2 = luts_flat[:, flat_codes].sum(axis=2)  # one gather: Q × B
+            dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
             out_q, out_v, out_d = [], [], []
             for qi in range(qmat.shape[0]):
-                # gather: for each row, sum LUT[sub, codes[row, sub]] over sub
-                d2 = luts[qi][sub_idx[None, :], cmat].sum(axis=1)  # B
-                dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
-                order = np.lexsort((vids, dists))[:kk]
-                out_q.append(np.full(kk, qids[qi]))
-                out_v.append(vids[order])
-                out_d.append(dists[order])
+                sel = _topk_idx(dists[qi], vids, kk)
+                out_q.append(np.full(len(sel), qids[qi]))
+                out_v.append(vids[sel])
+                out_d.append(dists[qi][sel])
             yield pd.DataFrame(
                 {
                     "qid": np.concatenate(out_q),
@@ -274,27 +298,41 @@ def ivf_pq_search(
         "qid", "vec_id", "codes"
     )
 
+    # qid → LUT row translation table (qids are query-set-local and small).
+    sorted_qids = np.sort(np.array(list(qid_to_row), dtype=np.int64))
+    qid_to_lut = np.array([qid_to_row[int(q)] for q in sorted_qids], dtype=np.int64)
+    luts_flat = luts.reshape(luts.shape[0], m * n_k)
+
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sub_idx = np.arange(m)
+        offs = np.arange(m, dtype=np.int64) * n_k
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for qid, grp in pdf.groupby("qid"):
-                lut = luts[qid_to_row[int(qid)]]
-                cmat = np.array(list(grp["codes"]), dtype=np.int64)
-                vids = grp["vec_id"].to_numpy(dtype=np.int64)
-                d2 = lut[sub_idx[None, :], cmat].sum(axis=1)
-                dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
-                kk = min(k, len(vids))
-                order = np.lexsort((vids, dists))[:kk]
-                out.append(
-                    pd.DataFrame(
-                        {"qid": int(qid), "vec_id": vids[order], "dist": dists[order]}
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+            batch_qids = pdf["qid"].to_numpy(dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # B × M
+            qrow = qid_to_lut[np.searchsorted(sorted_qids, batch_qids)]
+            # One whole-batch gather (the round-1 kernel ran a pandas
+            # groupby with a per-query python loop): row i reads its own
+            # query's LUT via a (B, M) fancy-index, no per-group work.
+            d2 = luts_flat[qrow[:, None], cmat + offs[None, :]].sum(axis=1)
+            dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
+            # Per-qid local top-k: one lexsort by (qid, dist, vid), then the
+            # first min(k, count) rows of each group.
+            order = np.lexsort((vids, dists, batch_qids))
+            q_sorted = batch_qids[order]
+            starts = np.flatnonzero(np.r_[True, q_sorted[1:] != q_sorted[:-1]])
+            ends = np.r_[starts[1:], len(q_sorted)]
+            take = np.concatenate(
+                [order[s : min(s + k, e)] for s, e in zip(starts, ends)]
+            )
+            yield pd.DataFrame(
+                {
+                    "qid": batch_qids[take],
+                    "vec_id": vids[take],
+                    "dist": dists[take],
+                }
+            )
 
     reduced = cand.mapInPandas(part, schema="qid long, vec_id long, dist double")
     return _rank_topk(reduced, k)
