@@ -1,0 +1,102 @@
+"""Fixed metadata schemas as nested StructType columns (SURVEY.md §1.5).
+
+The reference pins closed metadata dataclasses on every entity —
+``DocumentMetadata`` (/root/reference/app/domain/entities.py:20-36),
+``ChunkMetadata`` (entities.py:39-54) and ``LibraryMetadata``
+(entities.py:57-72). Spark-first, a frozen dataclass is a typed nested
+struct column: fields stay individually filterable/projectable (Catalyst
+pushes ``metadata.category = 'x'`` and ``array_contains(metadata.tags, t)``
+into the parquet scan and prunes the unread struct fields), while the
+closed schema is enforced by the cast — unknown keys fail loudly instead
+of landing in a schemaless map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# (field, spark DDL type) — order mirrors the reference dataclasses.
+DOCUMENT_METADATA_FIELDS: list[tuple[str, str]] = [
+    ("author", "string"),
+    ("source", "string"),
+    ("language", "string"),
+    ("format", "string"),
+    ("created_at", "string"),
+    ("modified_at", "string"),
+    ("tags", "array<string>"),
+    ("category", "string"),
+    ("is_public", "boolean"),
+    ("processed", "boolean"),
+    ("chunk_count", "int"),
+    ("word_count", "int"),
+]
+
+CHUNK_METADATA_FIELDS: list[tuple[str, str]] = [
+    ("chunk_type", "string"),
+    ("section", "string"),
+    ("page_number", "int"),
+    ("confidence", "float"),
+    ("language", "string"),
+    ("tags", "array<string>"),
+    ("embedding_model", "string"),
+    ("embedding_dim", "int"),
+    ("similarity_threshold", "float"),
+    ("processed_at", "string"),
+]
+
+LIBRARY_METADATA_FIELDS: list[tuple[str, str]] = [
+    ("author", "string"),
+    ("version", "string"),
+    ("tags", "array<string>"),
+    ("created_by", "string"),
+    ("project", "string"),
+    ("category", "string"),
+    ("is_public", "boolean"),
+    ("test", "boolean"),
+    ("updated", "boolean"),
+    ("original", "boolean"),
+    ("workflow", "string"),
+]
+
+
+def struct_ddl(fields: list[tuple[str, str]]) -> str:
+    return "struct<" + ", ".join(f"{n}: {t}" for n, t in fields) + ">"
+
+
+DOCUMENT_METADATA_DDL = struct_ddl(DOCUMENT_METADATA_FIELDS)
+CHUNK_METADATA_DDL = struct_ddl(CHUNK_METADATA_FIELDS)
+LIBRARY_METADATA_DDL = struct_ddl(LIBRARY_METADATA_FIELDS)
+
+
+def null_metadata(fields: list[tuple[str, str]]) -> Column:
+    """A NULL of the full struct type — rows ingested without metadata."""
+    return F.lit(None).cast(struct_ddl(fields))
+
+
+def metadata_lit(fields: list[tuple[str, str]], values: dict | None) -> Column:
+    """Build a struct literal from a (possibly partial) dict, validating the
+    closed schema — the dataclass constructor's unknown-field error
+    (reference entities.py: frozen dataclasses reject unexpected kwargs)."""
+    if values is None:
+        return null_metadata(fields)
+    known = {n for n, _ in fields}
+    unknown = set(values) - known
+    if unknown:
+        raise ValueError(f"unknown metadata fields: {sorted(unknown)}")
+    cols = []
+    for name, typ in fields:
+        v = values.get(name)
+        cols.append(F.lit(v).cast(typ).alias(name))
+    return F.struct(*cols)
+
+
+def coerce_metadata(col: Column, fields: list[tuple[str, str]]) -> Column:
+    """Rebuild an incoming struct column against the closed schema by field
+    NAME (a bare ``cast(struct<...>)`` maps positionally and would silently
+    scramble a reordered writer); a missing field fails analysis — the
+    closed-schema guarantee."""
+    rebuilt = F.struct(
+        *(col.getField(n).cast(t).alias(n) for n, t in fields)
+    )
+    # NULL struct in → NULL struct out (not a struct of NULLs).
+    return F.when(col.isNull(), null_metadata(fields)).otherwise(rebuilt)

@@ -40,19 +40,52 @@ from stackai_vector_db_spark.operators.ivf import (
 )
 from stackai_vector_db_spark.operators.knn import brute_force_topk
 
-CHUNK_SCHEMA = (
-    "chunk_id long, document_id long, library_id long, text string, "
-    "embedding array<float>, start_index int, end_index int, "
-    "similarity_threshold float"
+from stackai_vector_db_spark.plans.metadata import (
+    CHUNK_METADATA_DDL,
+    CHUNK_METADATA_FIELDS,
+    DOCUMENT_METADATA_FIELDS,
+    LIBRARY_METADATA_FIELDS,
+    coerce_metadata,
+    metadata_lit,
+    null_metadata,
 )
+
 _CHUNK_TYPES = [
-    (c.strip().split(" ", 1)[0], c.strip().split(" ", 1)[1])
-    for c in CHUNK_SCHEMA.split(", ")
+    ("chunk_id", "long"),
+    ("document_id", "long"),
+    ("library_id", "long"),
+    ("text", "string"),
+    ("embedding", "array<float>"),
+    ("start_index", "int"),
+    ("end_index", "int"),
+    ("similarity_threshold", "float"),
+    # ChunkMetadata (reference entities.py:39-54) as a typed nested struct
+    ("metadata", CHUNK_METADATA_DDL),
 ]
+CHUNK_SCHEMA = ", ".join(f"{n} {t}" for n, t in _CHUNK_TYPES)
 _CHUNK_COLS = [c for c, _ in _CHUNK_TYPES]
 
 DEFAULT_DIM = 16
 REBUILD_THRESHOLD = 0.1  # reference config.py:58
+MAX_KNN_RESULTS = 1000  # reference config.py:49, schemas/search.py:22-27
+MAX_QUERY_TEXT_LEN = 10_000  # reference schemas/search.py:15-19
+
+
+def _validate_k(k: int) -> None:
+    """Reference k bounds (schemas/search.py:22-27: 1 ≤ k ≤ 1000, a 422
+    validation error, not a silent clamp)."""
+    if not 1 <= k <= MAX_KNN_RESULTS:
+        raise ValueError(f"k must be in [1, {MAX_KNN_RESULTS}], got {k}")
+
+
+def _validate_query_text(text: str) -> str:
+    """Reference text bounds (schemas/search.py:15-33: 1..10000 chars,
+    whitespace-only rejected, stripped before use)."""
+    if not text.strip():
+        raise ValueError("search text cannot be empty or whitespace only")
+    if len(text) > MAX_QUERY_TEXT_LEN:
+        raise ValueError(f"search text longer than {MAX_QUERY_TEXT_LEN} chars")
+    return text.strip()
 
 
 class VectorStore:
@@ -122,6 +155,15 @@ class VectorStore:
         if "similarity_threshold" not in rows.columns:
             rows = rows.withColumn(
                 "similarity_threshold", F.lit(None).cast("float")
+            )
+        if "metadata" not in rows.columns:
+            rows = rows.withColumn(
+                "metadata", null_metadata(CHUNK_METADATA_FIELDS)
+            )
+        else:
+            rows = rows.withColumn(
+                "metadata",
+                coerce_metadata(F.col("metadata"), CHUNK_METADATA_FIELDS),
             )
         validated = (
             rows.filter(F.length(F.trim(F.col("text"))) > 0)
@@ -425,6 +467,8 @@ class VectorStore:
         """Embed query text (F3), probe clusters (O5), top-k within probed
         partitions (J2+A1), hydrate chunk payload (J1). Passing ``version``
         pins a snapshot (reads are stable while a new build runs)."""
+        _validate_k(k)
+        text = _validate_query_text(text)
         q = self.spark.createDataFrame([(0, text)], "qid long, qtext string").select(
             "qid",
             fake_embedding(F.col("qtext"), self.dim).cast("array<float>").alias("qvec"),
@@ -474,7 +518,12 @@ class VectorStore:
         null threshold keeps the row (the three-valued-logic trap from
         SURVEY.md §7.3, encoded explicitly)."""
         payload = idx.select(
-            "chunk_id", "document_id", "library_id", "text", "similarity_threshold"
+            "chunk_id",
+            "document_id",
+            "library_id",
+            "text",
+            "similarity_threshold",
+            "metadata",
         )
         return (
             F.broadcast(hits)
@@ -483,7 +532,9 @@ class VectorStore:
                 F.col("similarity_threshold").isNull()
                 | (F.col("dist") <= F.col("similarity_threshold"))
             )
-            .select("qid", "chunk_id", "document_id", "dist", "rank", "text")
+            .select(
+                "qid", "chunk_id", "document_id", "dist", "rank", "text", "metadata"
+            )
         )
 
     def search_vector(
@@ -495,9 +546,10 @@ class VectorStore:
         version: int | None = None,
     ) -> DataFrame:
         """Raw-vector search (reference ``POST /query`` with an embedding
-        payload): dimension-checked against the store dim (422-equivalent,
-        ``search_service.py:126-135``), then the same probe→topk→hydrate
-        plan as :meth:`search_text`."""
+        payload): k-bounded (schemas/search.py:22-27) and dimension-checked
+        against the store dim (422-equivalent, ``search_service.py:126-135``),
+        then the same probe→topk→hydrate plan as :meth:`search_text`."""
+        _validate_k(k)
         if len(vector) != self.dim:
             raise ValueError(
                 f"query dim {len(vector)} != index dim {self.dim}"
@@ -548,10 +600,18 @@ class VectorStore:
             F.lower("name")
         )
 
-    def create_library(self, library_id: int, name: str, description: str = "") -> None:
+    def create_library(
+        self,
+        library_id: int,
+        name: str,
+        description: str = "",
+        metadata: dict | None = None,
+    ) -> None:
         """Create with case-insensitive name uniqueness (reference
         ``library_repository.py:18-19``, ``36-39``: casefolded unique
-        index; duplicate → error)."""
+        index; duplicate → error). ``metadata`` is the closed
+        LibraryMetadata schema (entities.py:57-72) stored as a typed
+        struct column; unknown keys raise."""
         if not name.strip():
             raise ValueError("library name must be non-empty")
         if len(name) > 255:
@@ -560,7 +620,7 @@ class VectorStore:
         row = self.spark.createDataFrame(
             [(library_id, name.strip(), description)],
             "library_id long, name string, description string",
-        )
+        ).withColumn("metadata", metadata_lit(LIBRARY_METADATA_FIELDS, metadata))
         if cur is not None:
             clash = cur.filter(
                 (F.lower("name") == name.strip().lower())
@@ -634,9 +694,17 @@ class VectorStore:
             df = df.filter(F.col("library_id") == library_id)
         return df.orderBy(F.lower("title"))
 
-    def create_document(self, document_id: int, library_id: int, title: str) -> None:
+    def create_document(
+        self,
+        document_id: int,
+        library_id: int,
+        title: str,
+        metadata: dict | None = None,
+    ) -> None:
         """FK-guarded create (reference J5: parent library must exist,
-        ``document_service.py:64-65``); title non-empty, ≤ 255."""
+        ``document_service.py:64-65``); title non-empty, ≤ 255.
+        ``metadata`` is the closed DocumentMetadata schema
+        (entities.py:20-36) stored as a typed struct column."""
         if not title.strip():
             raise ValueError("document title must be non-empty")
         if len(title) > 255:
@@ -647,7 +715,7 @@ class VectorStore:
         row = self.spark.createDataFrame(
             [(document_id, library_id, title.strip())],
             "document_id long, library_id long, title string",
-        )
+        ).withColumn("metadata", metadata_lit(DOCUMENT_METADATA_FIELDS, metadata))
         cur = self.list_documents()
         if cur is not None:
             if not cur.filter(F.col("document_id") == document_id).isEmpty():

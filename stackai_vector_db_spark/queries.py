@@ -2530,6 +2530,76 @@ def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_filter_tags",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             'author_' || CAST(doc_id % 7 AS VARCHAR) AS author,
+             [lang, 'b' || CAST(doc_id % 4 AS VARCHAR)] AS tags,
+             source AS category,
+             (doc_id % 3) <> 0 AS is_public,
+             CAST(n_chars % 1000 AS INTEGER) AS word_count
+      FROM documents)
+    SELECT doc_id, author, category, word_count,
+           len(tags)::INTEGER AS n_tags
+    FROM meta
+    WHERE list_contains(tags, 'en') AND category = 'src3' AND is_public
+    """,
+)
+def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-schema metadata filtering (reference DocumentMetadata,
+    entities.py:20-36; the tags/category filter shape of
+    tests/test_chunks.py): metadata lives as ONE typed nested struct
+    column (SURVEY.md §1.5, plans/metadata.py), and the query filters on
+    ``array_contains(metadata.tags, …)`` + ``metadata.category`` +
+    ``metadata.is_public`` then projects individual struct fields. On a
+    stored table Catalyst prunes unread struct fields at the parquet scan
+    and pushes the category equality down; here the struct is derived
+    deterministically from the fixture so DuckDB can oracle the same
+    values."""
+    from stackai_vector_db_spark.plans.metadata import (
+        DOCUMENT_METADATA_FIELDS,
+        struct_ddl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.concat(F.lit("author_"), (F.col("doc_id") % 7).cast("string")).alias(
+            "author"
+        ),
+        F.col("source").alias("source"),
+        F.col("lang").alias("language"),
+        F.lit(None).cast("string").alias("format"),
+        F.lit(None).cast("string").alias("created_at"),
+        F.lit(None).cast("string").alias("modified_at"),
+        F.array(
+            F.col("lang"),
+            F.concat(F.lit("b"), (F.col("doc_id") % 4).cast("string")),
+        ).alias("tags"),
+        F.col("source").alias("category"),
+        ((F.col("doc_id") % 3) != 0).alias("is_public"),
+        F.lit(None).cast("boolean").alias("processed"),
+        F.lit(None).cast("int").alias("chunk_count"),
+        (F.col("n_chars") % 1000).cast("int").alias("word_count"),
+    ).cast(struct_ddl(DOCUMENT_METADATA_FIELDS))
+    return (
+        docs.withColumn("metadata", meta)
+        .filter(
+            F.array_contains(F.col("metadata.tags"), "en")
+            & (F.col("metadata.category") == "src3")
+            & F.col("metadata.is_public")
+        )
+        .select(
+            "doc_id",
+            F.col("metadata.author").alias("author"),
+            F.col("metadata.category").alias("category"),
+            F.col("metadata.word_count").alias("word_count"),
+            F.size("metadata.tags").alias("n_tags"),
+        )
+    )
+
+
 # Sweep order for the driver's correctness pass, cheapest first (measured
 # Spark+oracle cost at sf0.01, tools/time_queries.py). The driver iterates
 # queries() in dict order under a time budget; rounds 1-2 proved that
@@ -2546,7 +2616,7 @@ SWEEP_ORDER = [
     "q_text_stats", "q_dedup_exact", "q_lang_id", "q_agg_cube",
     "q_cluster_stats", "q_count_by_group", "q_point_lookup",
     "q_fingerprint", "q_filter_missing_emb", "q_index_stats",
-    "q_anti_tombstone", "q_except_deleted", "q_dedup_near",
+    "q_anti_tombstone", "q_except_deleted", "q_dedup_near", "q_filter_tags",
     "q_semi_exists", "q_top_terms", "q_scan_project", "q_agg_rollup",
     "q_dim_check", "q_threshold_filter", "q_simhash", "q_cascade_anti",
     "q_percentile", "q_tpch_q3", "q_join_smj", "q_join_broadcast",

@@ -412,3 +412,93 @@ def test_search_skips_tombstones_without_rebuild(spark, store):
     store.build_index(1, n_clusters=2)
     idx, _ = store.read_index()
     assert idx.filter(F.col("chunk_id") == victim).isEmpty()
+
+
+# ---- serving-path parity guards (reference schemas/search.py:22-27,
+# search_service.py:126-135) + closed metadata schemas (entities.py:20-72)
+
+
+def test_search_k_bounds_enforced(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 30))
+    store.build_index(1, n_clusters=2)
+    for bad_k in (0, -1, 1001):
+        with pytest.raises(ValueError, match="k must be in"):
+            store.search_text(1, "chunk text number 1", k=bad_k)
+        with pytest.raises(ValueError, match="k must be in"):
+            store.search_vector(1, [0.0] * 16, k=bad_k)
+    # boundary values are legal
+    assert store.search_text(1, "chunk text number 1", k=1).count() >= 1
+    assert store.search_vector(1, [0.0] * 16, k=1000).count() >= 1
+
+
+def test_search_text_bounds_enforced(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 30))
+    store.build_index(1, n_clusters=2)
+    with pytest.raises(ValueError, match="empty or whitespace"):
+        store.search_text(1, "   ")
+    with pytest.raises(ValueError, match="longer than"):
+        store.search_text(1, "x" * 10_001)
+
+
+def test_search_vector_dim_mismatch(spark, store):
+    store.ingest_chunks(_chunk_rows(spark, 30))
+    store.build_index(1, n_clusters=2)
+    with pytest.raises(ValueError, match="query dim"):
+        store.search_vector(1, [0.0] * 5)
+
+
+def test_chunk_metadata_roundtrip(spark, store):
+    """ChunkMetadata as a typed struct column survives ingest → build →
+    search hydration, and rows without metadata read back as NULL struct."""
+    import pyspark.sql.functions as SF
+
+    rows = _chunk_rows(spark, 20).withColumn(
+        "metadata",
+        SF.when(
+            SF.col("chunk_id") % 2 == 0,
+            SF.struct(
+                SF.lit("paragraph").alias("chunk_type"),
+                SF.lit("intro").alias("section"),
+                (SF.col("chunk_id") % 7).cast("int").alias("page_number"),
+                SF.lit(0.9).cast("float").alias("confidence"),
+                SF.lit("en").alias("language"),
+                SF.array(SF.lit("t1"), SF.lit("t2")).alias("tags"),
+                SF.lit("fake").alias("embedding_model"),
+                SF.lit(16).alias("embedding_dim"),
+                SF.lit(None).cast("float").alias("similarity_threshold"),
+                SF.lit(None).cast("string").alias("processed_at"),
+            ),
+        ),
+    )
+    store.ingest_chunks(rows)
+    back = store.read_chunks()
+    assert "metadata" in back.columns
+    tagged = back.filter(SF.array_contains("metadata.tags", "t1"))
+    assert tagged.count() == 10
+    assert back.filter(SF.col("metadata").isNull()).count() == 10
+    # struct fields filter/project like ordinary columns
+    assert (
+        back.filter(SF.col("metadata.chunk_type") == "paragraph").count() == 10
+    )
+    # metadata rides through the index build into search hydration
+    store.build_index(1, n_clusters=2)
+    hits = store.search_text(1, "chunk text number 2 for library 1 with words", k=4)
+    assert "metadata" in hits.columns
+
+
+def test_library_document_metadata(spark, store):
+    store.create_library(
+        7, "lib-meta", metadata={"tags": ["prod"], "is_public": False}
+    )
+    libs = store.list_libraries().collect()
+    assert libs[0]["metadata"]["tags"] == ["prod"]
+    assert libs[0]["metadata"]["is_public"] is False
+    store.create_document(
+        70, 7, "doc-meta", metadata={"category": "report", "word_count": 12}
+    )
+    docs = store.list_documents(7).collect()
+    assert docs[0]["metadata"]["category"] == "report"
+    assert docs[0]["metadata"]["word_count"] == 12
+    # closed schema: unknown keys rejected (frozen dataclass parity)
+    with pytest.raises(ValueError, match="unknown metadata"):
+        store.create_library(8, "lib-bad", metadata={"nope": 1})
