@@ -2530,6 +2530,202 @@ def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-curation extensions (operators/curation.py): decontamination,
+# stratified sampling, shard packing, PII scrubbing — the training-data
+# pipeline steps beyond dedup.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH aug AS (SELECT doc_id, text FROM documents),
+    base AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(range(1, len(th)-1),
+               i -> (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007))) AS ss
+      FROM (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> list_reduce(
+                        list_prepend(0::BIGINT,
+                          list_transform(range(1, length(t)+1),
+                            c -> ord(substr(t, c, 1))::BIGINT)),
+                        (a, x) -> (a*31 + x) % 1000000007)) AS th
+        FROM aug)
+      WHERE len(th) >= 3),
+    bench AS (SELECT DISTINCT unnest(ss) AS h FROM base WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM base WHERE doc_id % 97 <> 0),
+    cont AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(ss) AS h FROM corpus) c
+      JOIN bench USING (h))
+    SELECT d.lang, count(*)::BIGINT AS n_docs,
+           count(cont.doc_id)::BIGINT AS n_contaminated
+    FROM corpus JOIN documents d USING (doc_id)
+    LEFT JOIN cont USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 3-token
+    shingle with the held-out benchmark split (doc_id % 97 == 0 plays the
+    eval set). Asymmetric containment, not pairwise near-dup: the
+    benchmark's distinct shingles BROADCAST (an eval set is small by
+    contract) and the corpus side is one scan + left-semi probe — no N×M
+    pair space, corpus cost O(tokens) regardless of partitioning."""
+    from stackai_vector_db_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = decontaminate(corpus, bench, k=3)
+    return (
+        flags.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("contaminated")).alias("n_contaminated"),
+        )
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_total,
+           (count(*) FILTER (
+             (doc_id * 2654435761) % 100 <
+               CASE WHEN lang = 'en' THEN 5 ELSE 20 END))::BIGINT AS n_sampled,
+           COALESCE(sum(n_chars) FILTER (
+             (doc_id * 2654435761) % 100 <
+               CASE WHEN lang = 'en' THEN 5 ELSE 20 END), 0)::BIGINT AS chars_sampled
+    FROM documents GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the language-rebalancing step of
+    a training-data pipeline (keep 5% of the dominant 'en' stratum, 20%
+    elsewhere). The keep-predicate is a Knuth-multiplicative hash of the
+    id: reproducible across reruns, partitionings and engines, unlike
+    rand(seed) whose draw depends on partition layout. One scan, one
+    partial-aggregable groupBy."""
+    from stackai_vector_db_spark.operators.curation import stratified_sample_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = stratified_sample_col(
+        F.col("doc_id"), F.col("lang"), {"en": 5}, default_pct=20
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(keep).alias("n_sampled"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0)).alias(
+            "chars_sampled"
+        ),
+    )
+
+
+SHARD_BUDGET = 2000  # tokens per training shard
+
+
+@register(
+    "q_shard_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang, toks,
+             COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM t)
+    SELECT lang, (prefix // {SHARD_BUDGET})::INTEGER AS shard_id,
+           count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS sum_tokens
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing — turn the corpus into ~2000-token
+    training shards per language: shard = floor(exclusive-prefix-sum /
+    budget) over (lang, doc_id) order. One shuffle (partition by lang) +
+    one sorted window; deterministic contiguous-fill, the standard
+    corpus-sharding rule (true bin packing is sequential by nature)."""
+    from stackai_vector_db_spark.functions.text import token_count_ws
+    from stackai_vector_db_spark.operators.curation import shard_pack
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).cast("long").alias("toks")
+    )
+    packed = shard_pack(docs, SHARD_BUDGET, "toks", part_col="lang")
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("sum_tokens")
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS text2
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text2, '[a-z0-9_.]+@[a-z0-9.]+[a-z]'))::INTEGER AS n_emails,
+           len(regexp_extract_all(text2, '555-[0-9]{4}'))::INTEGER AS n_phones,
+           length(regexp_replace(regexp_replace(text2,
+             '[a-z0-9_.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g'))::INTEGER AS clean_len
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction: emails and phone patterns found and
+    replaced by sentinels, counted per doc. The fixture text is synthetic,
+    so PII is injected deterministically from doc_id on both sides —
+    the operator's regex path (RE2-compatible classes + bounded
+    quantifiers, identical semantics in Spark and DuckDB) is what's under
+    test. One scan, no shuffle, no Python."""
+    from stackai_vector_db_spark.operators.curation import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = pii_scrub(
+        docs.select("doc_id", text2.alias("text")), text_col="text"
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("clean_text").cast("int").alias("clean_len"),
+    )
+
+
 @register(
     "q_filter_tags",
     oracle="""
@@ -2621,6 +2817,7 @@ SWEEP_ORDER = [
     "q_dim_check", "q_threshold_filter", "q_simhash", "q_cascade_anti",
     "q_percentile", "q_tpch_q3", "q_join_smj", "q_join_broadcast",
     "q_tpch_q5", "q_json_extract", "q_window_frame", "q_window_lag",
+    "q_stratified_sample", "q_shard_pack", "q_pii_scrub",
     "q_fn_cosine", "q_fn_euclidean", "q_knn_window_rank",
     "q_knn_brute_topk", "q_approx_distinct",
     # tier 2: events + 1-3s operator queries
@@ -2629,6 +2826,7 @@ SWEEP_ORDER = [
     "q_corpus_pipeline", "q_join_hits_chunks", "q_dedup_cosine",
     "q_assign_centroid", "q_ivf_probe_topk", "q_knn_graph",
     "q_dedup_minhash_lsh", "q_dedup_embed_incremental", "q_simhash_near",
+    "q_decontaminate",
     "q_ngram_jaccard", "q_embed_knn_e2e", "q_fake_embed",
     "q_ann_lsh_topk", "q_dedup_incremental",
     # tier 3: heavy iterative, hash-checked

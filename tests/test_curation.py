@@ -1,0 +1,82 @@
+"""Unit semantics for the corpus-curation operators (operators/curation.py):
+decontamination containment, sampling determinism under repartitioning,
+shard-packing boundaries, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stackai_vector_db_spark.operators.curation import (
+    decontaminate,
+    pii_scrub,
+    shard_pack,
+    stratified_sample_col,
+)
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "something about the quick brown fox here"),  # shares 3-gram
+            (11, "entirely different words with no overlap at all"),
+            (12, "quick brown dog runs"),  # no shared 3-shingle
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(corpus, bench).collect()}
+    assert got == {10: True, 11: False, 12: False}
+
+
+def test_decontaminate_short_docs_excluded(spark):
+    bench = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "a b")], "doc_id long, text string"  # < 3 tokens: not shingle-able
+    )
+    assert decontaminate(corpus, bench).count() == 0
+
+
+def test_stratified_sample_deterministic_across_partitionings(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    keep = stratified_sample_col(F.col("doc_id"), F.col("lang"), {"en": 5}, 20)
+    a = sorted(r["doc_id"] for r in docs.filter(keep).collect())
+    b = sorted(
+        r["doc_id"] for r in docs.repartition(13).filter(keep).collect()
+    )
+    assert a == b and len(a) > 0
+    # en stratum sampled at a visibly lower rate than fr
+    counts = (
+        docs.filter(keep).groupBy("lang").count().collect()
+    )
+    by_lang = {r["lang"]: r["count"] for r in counts}
+    assert by_lang.get("en", 0) / 334 < by_lang["fr"] / 666
+
+
+def test_shard_pack_boundaries(spark):
+    docs = spark.createDataFrame(
+        [(i, "x", 60) for i in range(10)], "doc_id long, lang string, toks long"
+    )
+    out = shard_pack(docs, budget=100, tokens_col="toks", part_col="lang")
+    got = {r["doc_id"]: r["shard_id"] for r in out.collect()}
+    # exclusive prefix sums: 0,60,120,... → shard = prefix // 100
+    assert got == {i: (i * 60) // 100 for i in range(10)}
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jo.doe@mail.example.org or 555-0133 thanks"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "<EMAIL>" in rows[1]["clean_text"] and "<PHONE>" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    assert rows[2]["n_emails"] == 0 and rows[2]["clean_text"] == "no pii here"
