@@ -244,6 +244,7 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    shingle_strategy: str = "native",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
     shingle → signature → band buckets → candidate pairs (band join) →
@@ -264,7 +265,9 @@ def minhash_lsh_pairs(
     r = n_hashes // n_bands
     # base feeds three plan branches (signature, verify-left, verify-right);
     # persist so the shingle computation runs once, not per branch.
-    base = with_shingle_sets(docs, text_col, id_col, k).persist()
+    base = with_shingle_sets(
+        docs, text_col, id_col, k, strategy=shingle_strategy
+    ).persist()
     sig = base.select(
         id_col,
         "shingle_set",
