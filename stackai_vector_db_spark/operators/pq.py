@@ -311,26 +311,35 @@ def ivf_pq_search(
             batch_qids = pdf["qid"].to_numpy(dtype=np.int64)
             vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # B × M
-            qrow = qid_to_lut[np.searchsorted(sorted_qids, batch_qids)]
-            # One whole-batch gather (the round-1 kernel ran a pandas
-            # groupby with a per-query python loop): row i reads its own
-            # query's LUT via a (B, M) fancy-index, no per-group work.
-            d2 = luts_flat[qrow[:, None], cmat + offs[None, :]].sum(axis=1)
-            dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
-            # Per-qid local top-k: one lexsort by (qid, dist, vid), then the
-            # first min(k, count) rows of each group.
-            order = np.lexsort((vids, dists, batch_qids))
-            q_sorted = batch_qids[order]
+            flat_codes = cmat + offs[None, :]  # B × M indices into M·K
+            # Per-qid segments via one single-key argsort (qids take at
+            # most Q ≤ 8 distinct values per the query-side collect
+            # contract), then per-segment argpartition top-k (_topk_idx,
+            # O(segment)). Replaces the old whole-batch 3-key
+            # lexsort((vids, dists, qids)) — O(B log B) with three key
+            # passes — which dominated this kernel's profile.
+            order_q = np.argsort(batch_qids, kind="stable")
+            q_sorted = batch_qids[order_q]
             starts = np.flatnonzero(np.r_[True, q_sorted[1:] != q_sorted[:-1]])
             ends = np.r_[starts[1:], len(q_sorted)]
-            take = np.concatenate(
-                [order[s : min(s + k, e)] for s, e in zip(starts, ends)]
-            )
+            out_q, out_v, out_d = [], [], []
+            for s, e in zip(starts, ends):
+                seg = order_q[s:e]
+                lut = luts_flat[
+                    qid_to_lut[np.searchsorted(sorted_qids, q_sorted[s])]
+                ]
+                d2 = lut[flat_codes[seg]].sum(axis=1)
+                dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
+                seg_vids = vids[seg]
+                sel = _topk_idx(dists, seg_vids, min(k, e - s))
+                out_q.append(np.full(len(sel), q_sorted[s], dtype=np.int64))
+                out_v.append(seg_vids[sel])
+                out_d.append(dists[sel])
             yield pd.DataFrame(
                 {
-                    "qid": batch_qids[take],
-                    "vec_id": vids[take],
-                    "dist": dists[take],
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "dist": np.concatenate(out_d),
                 }
             )
 
