@@ -69,14 +69,25 @@ def stratified_sample_col(
     id_col: Column, stratum_col: Column, rates: dict[str, int], default_pct: int
 ) -> Column:
     """Deterministic keep-predicate: keep a row iff
-    ``(id·2654435761) mod 100 < pct(stratum)``.
+    ``mix(knuth_hash(id)) mod 100 < pct(stratum)``.
 
     Knuth-multiplicative hash of the id — reproducible across reruns,
     partitionings and engines (pure BIGINT arithmetic, no engine hash
     function), unlike ``rand(seed)`` whose draw order is partition-
     dependent. Per-stratum pct encodes the curation policy (e.g. keep 5%
-    of the dominant language, 20% of the rest)."""
-    bucket = (id_col * F.lit(2654435761)) % 100
+    of the dominant language, 20% of the rest).
+
+    Overflow contract: the id is folded to 31 bits BEFORE the multiply so
+    the int64 product never exceeds (2^31)·2654435761 ≈ 5.7e18 < 2^63 —
+    no silent wrap in Spark, no overflow error in an ANSI engine; the
+    32-bit fold of the product then keeps the genuinely-mixing high bits
+    (a bare mod-100 of the raw product collapses the multiplier to
+    id·61 mod 100), and the shift-xor folds those high bits into the low
+    bucket bits."""
+    x = F.pmod(id_col, F.lit(2147483648))  # 31-bit fold: product stays in int64
+    h = F.pmod(x * F.lit(2654435761), F.lit(4294967296))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    bucket = F.pmod(h, F.lit(100))
     pct = F.lit(default_pct)
     for value, p in rates.items():
         pct = F.when(stratum_col == value, F.lit(p)).otherwise(pct)

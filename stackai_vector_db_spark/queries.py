@@ -2601,15 +2601,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stratified_sample",
     oracle="""
+    WITH h AS (
+      SELECT lang, n_chars,
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+      FROM documents),
+    s AS (
+      SELECT lang, n_chars,
+             xor(hv, hv >> 16) % 100 <
+               CASE WHEN lang = 'en' THEN 5 ELSE 20 END AS keep
+      FROM h)
     SELECT lang,
            count(*)::BIGINT AS n_total,
-           (count(*) FILTER (
-             (doc_id * 2654435761) % 100 <
-               CASE WHEN lang = 'en' THEN 5 ELSE 20 END))::BIGINT AS n_sampled,
-           COALESCE(sum(n_chars) FILTER (
-             (doc_id * 2654435761) % 100 <
-               CASE WHEN lang = 'en' THEN 5 ELSE 20 END), 0)::BIGINT AS chars_sampled
-    FROM documents GROUP BY lang
+           (count(*) FILTER (keep))::BIGINT AS n_sampled,
+           COALESCE(sum(n_chars) FILTER (keep), 0)::BIGINT AS chars_sampled
+    FROM s GROUP BY lang
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,26 @@ def test_stratified_sample_deterministic_across_partitionings(spark):
     assert by_lang.get("en", 0) / 334 < by_lang["fr"] / 666
 
 
+def test_stratified_sample_large_ids_no_overflow(spark):
+    """ids past 2^32 must hash into [0,100) — the raw id·2654435761
+    product wraps int64 above ~3.47e9; the 31-bit pre-fold keeps the
+    arithmetic exact and cross-engine (an ANSI engine would raise on the
+    wrap). Spark must agree with the plain-Python reference hash."""
+    big = [2**31 - 1, 2**32 + 7, 2**40 + 123, 2**62 + 5]
+    docs = spark.createDataFrame([(i, "en") for i in big], "doc_id long, lang string")
+
+    def ref_keep(i: int, pct: int = 37) -> bool:
+        h = ((i % 2**31) * 2654435761) % 2**32
+        return ((h ^ (h >> 16)) % 100) < pct
+
+    keep = stratified_sample_col(F.col("doc_id"), F.col("lang"), {}, 37)
+    got = {
+        r["doc_id"]: r["k"]
+        for r in docs.select("doc_id", keep.alias("k")).collect()
+    }
+    assert got == {i: ref_keep(i) for i in big}
+
+
 def test_shard_pack_boundaries(spark):
     docs = spark.createDataFrame(
         [(i, "x", 60) for i in range(10)], "doc_id long, lang string, toks long"
