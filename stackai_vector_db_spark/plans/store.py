@@ -69,6 +69,8 @@ DEFAULT_DIM = 16
 REBUILD_THRESHOLD = 0.1  # reference config.py:58
 MAX_KNN_RESULTS = 1000  # reference config.py:49, schemas/search.py:22-27
 MAX_QUERY_TEXT_LEN = 10_000  # reference schemas/search.py:15-19
+MAX_QUERY_EMBED_VALUE = 1e6  # reference schemas/search.py:61-68
+MAX_SIMILARITY_THRESHOLD = 10.0  # reference schemas/chunk.py:43-54
 
 
 def _validate_k(k: int) -> None:
@@ -167,6 +169,16 @@ class VectorStore:
             )
         validated = (
             rows.filter(F.length(F.trim(F.col("text"))) > 0)
+            # reference schemas/chunk.py:43-54: similarity_threshold must
+            # sit in [0, 10]; out-of-range rows are rejected (the batch
+            # analog of the Pydantic 422), null passes through.
+            .filter(
+                F.col("similarity_threshold").isNull()
+                | (
+                    (F.col("similarity_threshold") >= 0)
+                    & (F.col("similarity_threshold") <= MAX_SIMILARITY_THRESHOLD)
+                )
+            )
             .withColumn(
                 "end_index",
                 F.coalesce(
@@ -225,9 +237,18 @@ class VectorStore:
 
     def _normalize(self, df: DataFrame) -> DataFrame:
         """Common column order/types across partitioned dirs (library_id
-        inferred from directory names) and unpartitioned segments."""
+        inferred from directory names) and unpartitioned segments.
+
+        Schema evolution guard: segments written before a column existed
+        (e.g. pre-metadata, pre-threshold stores) read back with typed
+        nulls instead of failing analysis — the additive-column rule of
+        every table format."""
+        cols = set(df.columns)
         return df.select(
-            *(F.col(c).cast(t).alias(c) for c, t in _CHUNK_TYPES)
+            *(
+                (F.col(c) if c in cols else F.lit(None)).cast(t).alias(c)
+                for c, t in _CHUNK_TYPES
+            )
         )
 
     def read_chunks(self, version: int | None = None) -> DataFrame | None:
@@ -554,6 +575,13 @@ class VectorStore:
             raise ValueError(
                 f"query dim {len(vector)} != index dim {self.dim}"
             )  # DimensionMismatchError
+        for i, x in enumerate(vector):
+            # reference schemas/search.py:61-68: each query-embedding value
+            # bounded to ±1e6 (422-equivalent, not a clamp).
+            if not -MAX_QUERY_EMBED_VALUE <= float(x) <= MAX_QUERY_EMBED_VALUE:
+                raise ValueError(
+                    f"embedding value at index {i} is out of range (±1e6)"
+                )
         q = self.spark.createDataFrame(
             [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
         )

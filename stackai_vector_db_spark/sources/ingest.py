@@ -14,6 +14,7 @@ Bounds enforced (reference sources cited per rule):
 - start_index ≥ 0                   (entities.py:229-231)
 - end_index ≥ start_index (if set)  (entities.py:232-233)
 - embedding values within ±1e6      (schemas/chunk.py:43-54, search.py:61-68)
+- similarity_threshold in [0, 10]   (schemas/chunk.py:43-54 validator)
 - end_index defaults to start + len(trim(text))  (entities.py:255)
 """
 
@@ -23,10 +24,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHUNK_JSON_SCHEMA = (
     "chunk_id long, document_id long, library_id long, text string, "
-    "embedding array<double>, start_index int, end_index int"
+    "embedding array<double>, start_index int, end_index int, "
+    "similarity_threshold double"
 )
 
 MAX_EMBED_VALUE = 1e6  # reference schemas/search.py:61-68
+MAX_SIMILARITY_THRESHOLD = 10.0  # reference schemas/chunk.py:43-54
 
 
 def from_json_lines(spark: SparkSession, lines: DataFrame,
@@ -59,6 +62,14 @@ def validate_chunks(rows: DataFrame) -> tuple[DataFrame, DataFrame]:
                 "embedding", lambda x: F.abs(x) > F.lit(MAX_EMBED_VALUE)
             ),
             "embedding value out of range",
+        )
+        .when(
+            F.col("similarity_threshold").isNotNull()
+            & (
+                (F.col("similarity_threshold") < 0)
+                | (F.col("similarity_threshold") > MAX_SIMILARITY_THRESHOLD)
+            ),
+            "similarity_threshold out of range",
         )
     )
     flagged = rows.withColumn("reject_reason", reason)

@@ -67,18 +67,27 @@ def test_json_ingest_dead_letter_split(spark):
          "start_index": 10, "end_index": 3},
         {"chunk_id": 5, "document_id": 1, "library_id": 1, "text": "bad emb",
          "start_index": 0, "embedding": [0.0, 2e6]},
+        {"chunk_id": 6, "document_id": 1, "library_id": 1, "text": "bad thr",
+         "start_index": 0, "similarity_threshold": 10.5},
+        {"chunk_id": 7, "document_id": 1, "library_id": 1, "text": "neg thr",
+         "start_index": 0, "similarity_threshold": -0.5},
+        {"chunk_id": 8, "document_id": 1, "library_id": 1, "text": "edge thr ok",
+         "start_index": 0, "similarity_threshold": 10.0},
     ]
     lines = spark.createDataFrame([(json.dumps(p),) for p in payloads], "value string")
     valid, errors = validate_chunks(from_json_lines(spark, lines))
-    assert [r.chunk_id for r in valid.collect()] == [1]
-    [good] = valid.collect()
-    assert good.end_index == len("good row")
+    assert sorted(r.chunk_id for r in valid.collect()) == [1, 8]
+    good = {r.chunk_id: r for r in valid.collect()}
+    assert good[1].end_index == len("good row")
+    assert good[8].similarity_threshold == 10.0  # boundary legal (ref ≤ 10)
     reasons = {r.chunk_id: r.reject_reason for r in errors.collect()}
     assert reasons == {
         2: "empty text",
         3: "negative start_index",
         4: "end_index before start_index",
         5: "embedding value out of range",
+        6: "similarity_threshold out of range",
+        7: "similarity_threshold out of range",
     }
 
 

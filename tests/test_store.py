@@ -447,6 +447,66 @@ def test_search_vector_dim_mismatch(spark, store):
         store.search_vector(1, [0.0] * 5)
 
 
+def test_search_vector_value_bounds(spark, store):
+    """Reference schemas/search.py:61-68: every query-embedding value
+    bounded to ±1e6 — a validation error, not a clamp; exactly ±1e6 legal."""
+    store.ingest_chunks(_chunk_rows(spark, 30))
+    store.build_index(1, n_clusters=2)
+    for bad in (1e6 + 1, -1e6 - 1, 2e9):
+        with pytest.raises(ValueError, match="out of range"):
+            store.search_vector(1, [bad] + [0.0] * 15)
+    assert store.search_vector(1, [1e6, -1e6] + [0.0] * 14, k=1).count() >= 0
+
+
+def test_ingest_similarity_threshold_bounds(spark, store):
+    """Reference schemas/chunk.py:43-54: similarity_threshold in [0, 10];
+    out-of-range rows rejected at ingest, null and boundary values kept."""
+    rows = [
+        (1, 0, 1, "row with null threshold kept", None, 0, None, None),
+        (2, 0, 1, "row at lower boundary kept", None, 0, None, 0.0),
+        (3, 0, 1, "row at upper boundary kept", None, 0, None, 10.0),
+        (4, 0, 1, "row above bound rejected", None, 0, None, 10.5),
+        (5, 0, 1, "row below bound rejected", None, 0, None, -0.1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "chunk_id long, document_id long, library_id long, text string, "
+        "embedding array<float>, start_index int, end_index int, "
+        "similarity_threshold float",
+    )
+    store.ingest_chunks(df)
+    kept = {r["chunk_id"] for r in store.read_chunks().collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_read_chunks_pre_metadata_segment(spark, store):
+    """Segments written before a column existed (no metadata /
+    similarity_threshold) must read back with typed nulls, not fail
+    analysis — the additive-schema-evolution rule."""
+    import json as _json
+    import os as _os
+
+    store.ingest_chunks(_chunk_rows(spark, 5))
+    old_seg = _os.path.join(store.root, "chunks", "seg_old")
+    spark.createDataFrame(
+        [(999, 0, 1, "legacy segment row", [0.0] * 16, 0, 18)],
+        "chunk_id long, document_id long, library_id long, text string, "
+        "embedding array<float>, start_index int, end_index int",
+    ).write.parquet(old_seg)
+    v = store.versions()["chunks"]
+    with open(store._chunks_manifest_path(v)) as f:
+        m = _json.load(f)
+    m["data"].append([old_seg, 0])
+    with open(store._chunks_manifest_path(v + 1), "w") as f:
+        _json.dump(m, f)
+    store._swap_pointer(chunks=v + 1)
+    out = store.read_chunks()
+    legacy = [r for r in out.collect() if r["chunk_id"] == 999]
+    assert len(legacy) == 1
+    assert legacy[0]["metadata"] is None
+    assert legacy[0]["similarity_threshold"] is None
+
+
 def test_chunk_metadata_roundtrip(spark, store):
     """ChunkMetadata as a typed struct column survives ingest → build →
     search hydration, and rows without metadata read back as NULL struct."""
