@@ -2393,14 +2393,34 @@ def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", oracle=None)  # ⚠ binary mapInPandas plumbing — rows-only
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           n_chars::INTEGER AS width,
+           1 AS height,
+           CASE WHEN length(text) = 0 THEN 0
+             ELSE floor(((list_sum(list_transform(range(1, length(text) + 1),
+                    i -> unicode(text[i])))::DOUBLE / length(text)) / 255.0)
+                  * 1000000.0)::BIGINT
+           END AS luma_micro
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column pipeline over the documents table: utf-8 payload
     bytes as the opaque BINARY column + typed metadata struct, then
     Arrow-batched ``mapInPandas`` feature extraction
     (operators/multimodal.py). The decode kernel is a deterministic stub
     (no codec libs in this environment); the Spark-side plumbing — schema,
-    batch iteration, kind-filter pushed before the Python stage — is real."""
+    batch iteration, kind-filter pushed before the Python stage — is real.
+
+    Hash-oracle contract: the fake decode's luma core is exact integer
+    arithmetic over the payload bytes — byte mean / 255, emitted as
+    truncated micro-units so the DuckDB side (codepoint sum == byte sum on
+    the ASCII fixture; both engines IEEE-double divide then floor) matches
+    bit-for-bit. The feature-vector path stays covered by
+    tests/test_multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     media = docs.repartition(par).select(
@@ -2414,7 +2434,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("duration_ms"),
         ).alias("meta"),
     )
-    return mm_ops.extract_image_features(media, feature_dim=8)
+    feats = mm_ops.extract_image_features(media, feature_dim=8)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_luma") * 1e6).cast("long").alias("luma_micro"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 """Time each registered query's Spark-side execution at a given SF dir.
 
-Mirrors the driver's sweep (registration order, collect each query) to find
-where the sweep's time budget goes.
+Mirrors the driver's sweep (queries() order, i.e. SWEEP_ORDER, collecting
+each query) to find where the sweep's budget goes.
 
 Usage: python tools/time_queries.py [sf_dir]
 """
@@ -13,7 +13,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from stackai_vector_db_spark.queries import REGISTRY  # noqa: E402
+from stackai_vector_db_spark.queries import queries  # noqa: E402
 from stackai_vector_db_spark.session import get_spark  # noqa: E402
 
 
@@ -22,10 +22,10 @@ def main() -> int:
     spark = get_spark(shuffle_partitions=8)
     t_all = time.perf_counter()
     times = []
-    for name, qd in REGISTRY.items():
+    for name, fn in queries().items():
         t0 = time.perf_counter()
         try:
-            n = len(qd.fn(spark, sf_dir).collect())
+            n = len(fn(spark, sf_dir).collect())
             err = ""
         except Exception as e:  # noqa: BLE001
             n, err = -1, str(e)[:80]
