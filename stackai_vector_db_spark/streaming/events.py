@@ -143,11 +143,19 @@ def incremental_index_stream(
     vectors_dir: str,
     centroids: DataFrame,
     out_dir: str,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming J3 — the reference's incremental add_vector
     (ivf.py:168-196) as a micro-batch job: new vectors arriving as files are
     assigned to the *existing* centroids and appended to the cluster-
     partitioned layout; no rebuild of the centroid set.
+
+    Pass ``checkpoint_dir`` to make repeated invocations incremental: the
+    file-source offset log records which vector files each run consumed, so
+    a later run (or a restart after failure) appends only the newly-arrived
+    files — exactly-once per input file, the property a real ingest
+    pipeline needs. Without it each availableNow run reprocesses the full
+    directory (fine for one-shot jobs/tests only).
     """
     from stackai_vector_db_spark.operators.ivf import assign_clusters
 
@@ -172,5 +180,8 @@ def incremental_index_stream(
     stream = spark.readStream.schema(
         "vec_id long, embedding array<float>, label int"
     ).parquet(vectors_dir)
-    q = stream.writeStream.foreachBatch(handle_batch).trigger(availableNow=True).start()
+    writer = stream.writeStream.foreachBatch(handle_batch).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()

@@ -193,6 +193,39 @@ def test_incremental_index_stream(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_incremental_index_two_waves_exactly_once(spark, tmp_path):
+    """Batch-twin parity across RESTARTS: vectors arriving in two waves,
+    each drained by a separate availableNow run sharing a checkpoint, must
+    together equal the one-shot batch assignment — each vec_id appended
+    exactly once (the offset log skips wave-1 files on the second run)."""
+    from stackai_vector_db_spark.operators.ivf import (
+        assign_clusters,
+        label_mean_centroids,
+    )
+    from stackai_vector_db_spark.streaming.events import incremental_index_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = label_mean_centroids(emb)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0)
+    wave2 = emb.filter(F.col("vec_id") % 2 == 1)
+    wave1.coalesce(2).write.mode("append").parquet(in_dir)
+    incremental_index_stream(spark, in_dir, cents, out_dir, checkpoint_dir=ckpt)
+    wave2.coalesce(2).write.mode("append").parquet(in_dir)
+    incremental_index_stream(spark, in_dir, cents, out_dir, checkpoint_dir=ckpt)
+
+    got = spark.read.parquet(out_dir).select("vec_id", "cluster_id")
+    want = assign_clusters(emb, cents).select("vec_id", "cluster_id")
+    assert _rows(got, ["vec_id", "cluster_id"]) == _rows(
+        want, ["vec_id", "cluster_id"]
+    )
+    # exactly-once: no vec_id written twice across the two runs
+    assert got.count() == got.select("vec_id").distinct().count()
+
+
 def test_dedup_ingest_stream_matches_batch(spark, tmp_path):
     """Streaming dedup-at-ingest is exact: three micro-batches deduped
     against the accumulating index must together find exactly the pairs the
