@@ -89,10 +89,8 @@ def main() -> None:
         Q._ivf_pq_coded(spark, sf_dir)  # also fills _ivf_centroids("all")
     except Exception as exc:  # keep the timed loop alive, but never silently
         print(f"bench: artifact pre-build FAILED: {exc!r}", file=sys.stderr)
-    print(
-        f"bench: artifact pre-build {time.perf_counter() - t_build:.1f}s",
-        file=sys.stderr,
-    )
+    artifact_build_sec = round(time.perf_counter() - t_build, 3)
+    print(f"bench: artifact pre-build {artifact_build_sec:.1f}s", file=sys.stderr)
 
     # Per-query time = median of 3 timed iterations (plan construction +
     # full execution each time). A single local[32] iteration on small SFs
@@ -101,6 +99,7 @@ def main() -> None:
     # the steady-state throughput a long-lived engine delivers.
     N_ITER = 3
     per_query: dict[str, float] = {}
+    first_call: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)
         if qd is None:
@@ -113,7 +112,11 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             assert n >= 0
         per_query[name] = round(sorted(times)[len(times) // 2], 3)
+        first_call[name] = round(times[0], 3)
     total = round(sum(per_query.values()), 3)
+    # value/queries: median steady-state (the quantity that scales with
+    # data volume). queries_first + artifact_build_sec keep the one-time
+    # costs visible — the warm artifact caches must not hide the build.
     print(
         json.dumps(
             {
@@ -122,6 +125,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf),
+                "queries_first": first_call,
+                "artifact_build_sec": artifact_build_sec,
             }
         )
     )

@@ -657,11 +657,7 @@ class VectorStore:
             if not clash.isEmpty():
                 raise ValueError(f"library name/id already exists: {name!r}")
             row = cur.unionByName(row)
-        tmp = self._libraries_path() + "_tmp"
-        row.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
-            self._libraries_path()
-        )
+        self._rewrite_control(row, self._libraries_path())
 
     def update_library(
         self, library_id: int, name: str | None = None, description: str | None = None
@@ -694,11 +690,26 @@ class VectorStore:
                 "description",
                 F.when(hit, F.lit(description)).otherwise(F.col("description")),
             )
-        tmp = self._libraries_path() + "_tmp"
+        self._rewrite_control(df, self._libraries_path())
+
+    MAX_CONTROL_ROWS = 1_000_000
+
+    def _rewrite_control(self, df: DataFrame, path: str) -> None:
+        """Whole-table single-writer rewrite — legal ONLY for control-plane
+        metadata (libraries/documents), whose cardinality is entities, not
+        chunks; it never touches the chunks table. The guard turns that
+        O(metadata) assumption into an explicit contract: a deployment that
+        somehow grows a control table toward data scale fails loudly here
+        instead of silently serializing it through one writer."""
+        n = df.count()
+        if n > self.MAX_CONTROL_ROWS:
+            raise RuntimeError(
+                f"control table {path} has {n} rows (> {self.MAX_CONTROL_ROWS}); "
+                "single-writer metadata rewrite is out of contract at this size"
+            )
+        tmp = path + "_tmp"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
-            self._libraries_path()
-        )
+        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
 
     # ---- document entities (reference routers/documents.py) ---------------
 
@@ -706,11 +717,7 @@ class VectorStore:
         return os.path.join(self.root, "control", "documents")
 
     def _rewrite_documents(self, df: DataFrame) -> None:
-        tmp = self._documents_path() + "_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
-            self._documents_path()
-        )
+        self._rewrite_control(df, self._documents_path())
 
     def list_documents(self, library_id: int | None = None) -> DataFrame | None:
         """Documents ordered by lower(title) (reference
@@ -789,11 +796,7 @@ class VectorStore:
         if cur is None or cur.filter(F.col("library_id") == library_id).isEmpty():
             raise ValueError(f"library {library_id} not found")
         remaining = cur.filter(F.col("library_id") != library_id)
-        tmp = self._libraries_path() + "_tmp"
-        remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(
-            self._libraries_path()
-        )
+        self._rewrite_control(remaining, self._libraries_path())
         chunks = self.read_chunks()
         if chunks is not None:
             matched = chunks.filter(F.col("library_id") == library_id).select(
