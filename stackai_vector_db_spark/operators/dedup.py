@@ -245,11 +245,19 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
     shingle_strategy: str = "native",
+    shingle_base: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
     shingle → signature → band buckets → candidate pairs (band join) →
     exact-Jaccard verification. Returns (id_a, id_b, jaccard) with
     jaccard rounded to 6 and ≥ threshold.
+
+    ``shingle_base`` lets the caller pass an already-materialized
+    ``with_shingle_sets`` table (``(id_col, …, shingle_set)``) — the
+    stored-layout case, where shingles live next to the corpus and are
+    computed once per table version, not once per dedup run. When given,
+    this function persists nothing (the caller owns the lifecycle);
+    otherwise it builds and persists the base itself, once per call.
 
     ``max_bucket_size`` is the mega-bucket guard for corpus-scale runs: a
     band bucket holding B docs emits B² candidate rows, so one degenerate
@@ -265,9 +273,12 @@ def minhash_lsh_pairs(
     r = n_hashes // n_bands
     # base feeds three plan branches (signature, verify-left, verify-right);
     # persist so the shingle computation runs once, not per branch.
-    base = with_shingle_sets(
-        docs, text_col, id_col, k, strategy=shingle_strategy
-    ).persist()
+    if shingle_base is not None:
+        base = shingle_base
+    else:
+        base = with_shingle_sets(
+            docs, text_col, id_col, k, strategy=shingle_strategy
+        ).persist()
     sig = base.select(
         id_col,
         "shingle_set",
