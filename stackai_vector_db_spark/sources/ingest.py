@@ -45,7 +45,15 @@ def from_json_lines(spark: SparkSession, lines: DataFrame,
 
 def validate_chunks(rows: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split into (valid, errors). Valid rows get the end_index default
-    applied; error rows keep their payload plus ``reject_reason``."""
+    applied; error rows keep their payload plus ``reject_reason``.
+
+    Sources that predate the similarity_threshold column (csv fixtures,
+    older JSON shapes) validate as all-null — additive schema evolution,
+    same rule as plans/store._normalize."""
+    if "similarity_threshold" not in rows.columns:
+        rows = rows.withColumn(
+            "similarity_threshold", F.lit(None).cast("double")
+        )
     reason = (
         F.when(F.col("chunk_id").isNull(), "missing chunk_id")
         .when(F.col("text").isNull() | (F.length(F.trim("text")) == 0), "empty text")
