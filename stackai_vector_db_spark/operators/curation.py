@@ -42,26 +42,26 @@ def decontaminate(
     the shingle contract shared with the dedup operators).
 
     Scale shape: the benchmark is an eval set (thousands of docs), so its
-    distinct shingle hashes broadcast; the corpus side is one shuffle-free
-    scan + explode + broadcast LEFT SEMI join + groupBy on doc_id. Corpus
-    cost is O(corpus tokens), independent of how the corpus is
-    partitioned; no N×M pair space exists anywhere.
+    distinct shingle hashes broadcast; the corpus side is one scan +
+    explode + broadcast LEFT join (hit marker) + ONE groupBy(doc_id)
+    shuffle with map-side partial ``max`` — the exploded shingle rows
+    collapse to one row per doc per partition before they ever shuffle.
+    (The earlier semi-join → distinct → left-join shape shuffled the
+    corpus twice.) Corpus cost is O(corpus tokens), independent of how
+    the corpus is partitioned; no N×M pair space exists anywhere.
     """
     bench_sh = (
         with_shingle_sets(benchmark, text_col, id_col, k)
         .select(F.explode("shingle_set").alias("h"))
         .distinct()
+        .withColumn("__hit", F.lit(True))
     )
     corpus_sh = with_shingle_sets(corpus, text_col, id_col, k)
-    hits = (
+    return (
         corpus_sh.select(id_col, F.explode("shingle_set").alias("h"))
-        .join(F.broadcast(bench_sh), "h", "left_semi")
-        .select(id_col)
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
-    return corpus_sh.select(id_col).join(hits, id_col, "left").select(
-        id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        .join(F.broadcast(bench_sh), "h", "left")
+        .groupBy(id_col)
+        .agg(F.coalesce(F.max("__hit"), F.lit(False)).alias("contaminated"))
     )
 
 

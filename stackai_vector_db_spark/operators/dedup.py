@@ -45,7 +45,12 @@ def token_hashes(toks: Column) -> Column:
 
 def shingle_hashes(th: Column, k: int) -> Column:
     """Hashes of word k-shingles: fold consecutive k token hashes with base
-    131 mod P. Requires size(th) >= k (guard at call site)."""
+    131 mod P. Total for any input length: fewer than k tokens yields an
+    empty array. (It must be — ``sequence(1, n-k+1)`` runs DESCENDING when
+    n < k because Spark defaults the step to -1 for start > stop, and
+    Catalyst is free to evaluate this expression before any call-site
+    size filter, e.g. hoisted into a pushed-down predicate — under ANSI
+    that indexed past the array and failed the job.)"""
     n = F.size(th)
 
     def one(i: Column) -> Column:
@@ -54,7 +59,10 @@ def shingle_hashes(th: Column, k: int) -> Column:
             h = (h * COMBINE_BASE + F.element_at(th, i + j)) % P
         return h
 
-    return F.transform(F.sequence(F.lit(1), n - (k - 1)), one)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, one)
 
 
 def minhash_signature(shingles: Column, n_hashes: int) -> Column:
