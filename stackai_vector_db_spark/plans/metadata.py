@@ -90,6 +90,41 @@ def metadata_lit(fields: list[tuple[str, str]], values: dict | None) -> Column:
     return F.struct(*cols)
 
 
+MAX_NAME_LENGTH = 255  # reference core/config.py:53
+
+
+def chunk_metadata_valid(col: Column) -> Column:
+    """Reference ``ChunkMetadataSchema`` field bounds
+    (app/schemas/chunk.py:14-54) as one JVM-side predicate — null metadata
+    and null fields pass (every bound is Optional there):
+    chunk_type ≤ 100 chars, section ≤ 255 (settings.max_name_length),
+    page_number ≥ 1, confidence ∈ [0, 1], language ≤ 50 chars,
+    embedding_model ≤ 100 chars, embedding_dim ≥ 1,
+    similarity_threshold ∈ [0, 10] (the field_validator)."""
+
+    def len_ok(name: str, n: int) -> Column:
+        f = col.getField(name)
+        return f.isNull() | (F.length(f) <= n)
+
+    def range_ok(name: str, lo: float, hi: float | None = None) -> Column:
+        f = col.getField(name)
+        ok = f >= lo
+        if hi is not None:
+            ok = ok & (f <= hi)
+        return f.isNull() | ok
+
+    return col.isNull() | (
+        len_ok("chunk_type", 100)
+        & len_ok("section", MAX_NAME_LENGTH)
+        & range_ok("page_number", 1)
+        & range_ok("confidence", 0.0, 1.0)
+        & len_ok("language", 50)
+        & len_ok("embedding_model", 100)
+        & range_ok("embedding_dim", 1)
+        & range_ok("similarity_threshold", 0.0, 10.0)
+    )
+
+
 def coerce_metadata(col: Column, fields: list[tuple[str, str]]) -> Column:
     """Rebuild an incoming struct column against the closed schema by field
     NAME (a bare ``cast(struct<...>)`` maps positionally and would silently

@@ -45,6 +45,7 @@ from stackai_vector_db_spark.plans.metadata import (
     CHUNK_METADATA_FIELDS,
     DOCUMENT_METADATA_FIELDS,
     LIBRARY_METADATA_FIELDS,
+    chunk_metadata_valid,
     coerce_metadata,
     metadata_lit,
     null_metadata,
@@ -179,6 +180,10 @@ class VectorStore:
                     & (F.col("similarity_threshold") <= MAX_SIMILARITY_THRESHOLD)
                 )
             )
+            # reference schemas/chunk.py:14-54: ChunkMetadataSchema field
+            # bounds (chunk_type/section/language/model lengths,
+            # page_number, confidence, embedding_dim, threshold).
+            .filter(chunk_metadata_valid(F.col("metadata")))
             .withColumn(
                 "end_index",
                 F.coalesce(

@@ -479,6 +479,52 @@ def test_ingest_similarity_threshold_bounds(spark, store):
     assert kept == {1, 2, 3}
 
 
+def test_ingest_chunk_metadata_field_bounds(spark, store):
+    """Reference ChunkMetadataSchema bounds (schemas/chunk.py:14-54):
+    page_number >= 1, confidence in [0,1], chunk_type <= 100 chars,
+    embedding_dim >= 1 — violating rows rejected at ingest, null fields
+    and boundary values kept."""
+    import pyspark.sql.functions as SF
+
+    def meta(page, conf, ctype, dim):
+        return SF.struct(
+            SF.lit(ctype).alias("chunk_type"),
+            SF.lit(None).cast("string").alias("section"),
+            SF.lit(page).cast("int").alias("page_number"),
+            SF.lit(conf).cast("float").alias("confidence"),
+            SF.lit(None).cast("string").alias("language"),
+            SF.lit(None).cast("array<string>").alias("tags"),
+            SF.lit(None).cast("string").alias("embedding_model"),
+            SF.lit(dim).cast("int").alias("embedding_dim"),
+            SF.lit(None).cast("float").alias("similarity_threshold"),
+            SF.lit(None).cast("string").alias("processed_at"),
+        )
+
+    cases = {
+        1: meta(1, 0.0, "p", 16),          # all boundaries legal
+        2: meta(0, 0.5, "p", 16),          # page_number < 1 → rejected
+        3: meta(2, 1.5, "p", 16),          # confidence > 1 → rejected
+        4: meta(2, 0.5, "x" * 101, 16),    # chunk_type > 100 chars → rejected
+        5: meta(2, 0.5, "p", 0),           # embedding_dim < 1 → rejected
+        6: meta(None, None, None, None),   # all-null fields → kept
+    }
+    rows = _chunk_rows(spark, 6, start_doc=7)
+    ids = sorted(r["chunk_id"] for r in rows.select("chunk_id").collect())
+    m = SF.lit(None).cast(
+        "struct<chunk_type:string,section:string,page_number:int,"
+        "confidence:float,language:string,tags:array<string>,"
+        "embedding_model:string,embedding_dim:int,"
+        "similarity_threshold:float,processed_at:string>"
+    )
+    for case_no, (cid, mm) in enumerate(zip(ids, cases.values())):
+        m = SF.when(SF.col("chunk_id") == cid, mm).otherwise(m)
+    rows = rows.withColumn("metadata", m)
+    store.ingest_chunks(rows)
+    kept = {r["chunk_id"] for r in store.read_chunks().collect()}
+    want = {ids[0], ids[5]}  # cases 1 and 6
+    assert kept == want
+
+
 def test_read_chunks_pre_metadata_segment(spark, store):
     """Segments written before a column existed (no metadata /
     similarity_threshold) must read back with typed nulls, not fail
@@ -519,7 +565,7 @@ def test_chunk_metadata_roundtrip(spark, store):
             SF.struct(
                 SF.lit("paragraph").alias("chunk_type"),
                 SF.lit("intro").alias("section"),
-                (SF.col("chunk_id") % 7).cast("int").alias("page_number"),
+                ((SF.col("chunk_id") % 7) + 1).cast("int").alias("page_number"),
                 SF.lit(0.9).cast("float").alias("confidence"),
                 SF.lit("en").alias("language"),
                 SF.array(SF.lit("t1"), SF.lit("t2")).alias("tags"),
