@@ -73,16 +73,55 @@ def null_metadata(fields: list[tuple[str, str]]) -> Column:
     return F.lit(None).cast(struct_ddl(fields))
 
 
-def metadata_lit(fields: list[tuple[str, str]], values: dict | None) -> Column:
+# (field → (kind, bound)) — the reference's Pydantic Field constraints for
+# the two control-plane metadata schemas; 'len' = max string length,
+# 'min' = numeric lower bound. app/schemas/document.py:11-34 and
+# app/schemas/library.py:11-33 (max_name_length = 255, core/config.py:53).
+DOCUMENT_METADATA_BOUNDS: dict[str, tuple[str, int]] = {
+    "author": ("len", 255),
+    "source": ("len", 500),
+    "language": ("len", 50),
+    "format": ("len", 50),
+    "category": ("len", 100),
+    "chunk_count": ("min", 0),
+    "word_count": ("min", 0),
+}
+
+LIBRARY_METADATA_BOUNDS: dict[str, tuple[str, int]] = {
+    "author": ("len", 255),
+    "version": ("len", 50),
+    "created_by": ("len", 255),
+    "project": ("len", 255),
+    "category": ("len", 100),
+    "workflow": ("len", 100),
+}
+
+
+def metadata_lit(
+    fields: list[tuple[str, str]],
+    values: dict | None,
+    bounds: dict[str, tuple[str, int]] | None = None,
+) -> Column:
     """Build a struct literal from a (possibly partial) dict, validating the
     closed schema — the dataclass constructor's unknown-field error
-    (reference entities.py: frozen dataclasses reject unexpected kwargs)."""
+    (reference entities.py: frozen dataclasses reject unexpected kwargs) —
+    plus the per-field Pydantic bounds when ``bounds`` is given (the
+    control-plane 422-equivalents; this path is driver-side by design:
+    library/document metadata arrives as an API payload, not as data)."""
     if values is None:
         return null_metadata(fields)
     known = {n for n, _ in fields}
     unknown = set(values) - known
     if unknown:
         raise ValueError(f"unknown metadata fields: {sorted(unknown)}")
+    for name, (kind, bound) in (bounds or {}).items():
+        v = values.get(name)
+        if v is None:
+            continue
+        if kind == "len" and len(v) > bound:
+            raise ValueError(f"metadata field {name!r} longer than {bound} chars")
+        if kind == "min" and v < bound:
+            raise ValueError(f"metadata field {name!r} must be >= {bound}")
     cols = []
     for name, typ in fields:
         v = values.get(name)

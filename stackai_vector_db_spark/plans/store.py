@@ -45,6 +45,8 @@ from stackai_vector_db_spark.plans.metadata import (
     CHUNK_METADATA_FIELDS,
     DOCUMENT_METADATA_FIELDS,
     LIBRARY_METADATA_FIELDS,
+    DOCUMENT_METADATA_BOUNDS,
+    LIBRARY_METADATA_BOUNDS,
     chunk_metadata_valid,
     coerce_metadata,
     metadata_lit,
@@ -653,7 +655,7 @@ class VectorStore:
         row = self.spark.createDataFrame(
             [(library_id, name.strip(), description)],
             "library_id long, name string, description string",
-        ).withColumn("metadata", metadata_lit(LIBRARY_METADATA_FIELDS, metadata))
+        ).withColumn("metadata", metadata_lit(LIBRARY_METADATA_FIELDS, metadata, LIBRARY_METADATA_BOUNDS))
         if cur is not None:
             clash = cur.filter(
                 (F.lower("name") == name.strip().lower())
@@ -755,7 +757,7 @@ class VectorStore:
         row = self.spark.createDataFrame(
             [(document_id, library_id, title.strip())],
             "document_id long, library_id long, title string",
-        ).withColumn("metadata", metadata_lit(DOCUMENT_METADATA_FIELDS, metadata))
+        ).withColumn("metadata", metadata_lit(DOCUMENT_METADATA_FIELDS, metadata, DOCUMENT_METADATA_BOUNDS))
         cur = self.list_documents()
         if cur is not None:
             if not cur.filter(F.col("document_id") == document_id).isEmpty():

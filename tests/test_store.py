@@ -479,6 +479,22 @@ def test_ingest_similarity_threshold_bounds(spark, store):
     assert kept == {1, 2, 3}
 
 
+def test_library_document_metadata_bounds(spark, store):
+    """Reference DocumentMetadataSchema / LibraryMetadataSchema Field
+    bounds (schemas/document.py:11-34, schemas/library.py:11-33): string
+    max lengths and non-negative counters raise at create time."""
+    with pytest.raises(ValueError, match="longer than 255"):
+        store.create_library(1, "lib", metadata={"author": "x" * 256})
+    with pytest.raises(ValueError, match="longer than 50"):
+        store.create_library(1, "lib", metadata={"version": "x" * 51})
+    with pytest.raises(ValueError, match=">= 0"):
+        store.create_library(2, "lib2", metadata={"author": "ok"})
+        store.create_document(1, 2, "doc", metadata={"chunk_count": -1})
+    # boundary-legal values pass
+    store.create_document(2, 2, "doc2", metadata={"source": "s" * 500,
+                                                  "word_count": 0})
+
+
 def test_ingest_chunk_metadata_field_bounds(spark, store):
     """Reference ChunkMetadataSchema bounds (schemas/chunk.py:14-54):
     page_number >= 1, confidence in [0,1], chunk_type <= 100 chars,
