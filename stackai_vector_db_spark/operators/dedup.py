@@ -243,6 +243,26 @@ def _shingle_sets_kernel(k: int, id_col: str):
     return part
 
 
+_PERSIST_SLOTS: dict = {}
+
+
+def _replace_persist(slot: str, df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing the blocks of the previous occupant of
+    ``slot`` (per session). The incremental/batch dedup entry points cache
+    intermediate tables once per CALL; on a long-running caller — above all
+    the streaming ingest path, which runs once per micro-batch forever — a
+    bare ``.persist()`` would accumulate storage blocks without bound.
+    Sequential calls fully consume the previous call's result first, so
+    replacement is safe; a stale handle simply recomputes."""
+    key = (df.sparkSession.sparkContext.applicationId, slot)
+    old = _PERSIST_SLOTS.get(key)
+    if old is not None:
+        old.unpersist(blocking=False)
+    df = df.persist()
+    _PERSIST_SLOTS[key] = df
+    return df
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -284,9 +304,10 @@ def minhash_lsh_pairs(
     if shingle_base is not None:
         base = shingle_base
     else:
-        base = with_shingle_sets(
-            docs, text_col, id_col, k, strategy=shingle_strategy
-        ).persist()
+        base = _replace_persist(
+            "lsh_pairs_base",
+            with_shingle_sets(docs, text_col, id_col, k, strategy=shingle_strategy),
+        )
     sig = base.select(
         id_col,
         "shingle_set",
@@ -403,9 +424,10 @@ def incremental_minhash_pairs(
     # three plan branches (new×old join, new×new join, verification) — with
     # a lazy cache the branches race and each recomputes the batch pipeline
     # (measured 3× the cost at 250k docs). One fill job, then all branches
-    # read the cache.
-    new_base = new_base.persist()
-    new_banded = new_banded.persist()
+    # read the cache. Slotted: the streaming ingest path calls this once
+    # per micro-batch forever, so each batch's cache replaces the last.
+    new_base = _replace_persist("inc_new_base", new_base)
+    new_banded = _replace_persist("inc_new_banded", new_banded)
     new_base.count()
     new_banded.count()
 
@@ -455,7 +477,8 @@ def ngram_jaccard_pairs(
     toks = tokens_col(F.col(text_col))
     th = token_hashes(toks)
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
+    base = _replace_persist(
+        "ngram_base",
         docs.repartition(par)
         .select(F.col(block_col).alias("__blk"), F.col(id_col), th.alias("__th"))
         .filter(F.size("__th") >= k)
@@ -463,8 +486,7 @@ def ngram_jaccard_pairs(
             "__blk",
             id_col,
             F.array_sort(F.array_distinct(shingle_hashes(F.col("__th"), k))).alias("ss"),
-        )
-        .persist()
+        ),
     )
     a = base.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("ss").alias("sa"))
     b = base.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("ss").alias("sb"))
