@@ -441,8 +441,17 @@ class VectorStore:
             ),
         )
         vectors = lib.select(F.col("chunk_id").alias("vec_id"), "embedding")
+        n = vectors.count()
         if algorithm is None:
-            algorithm = self.select_algorithm(vectors.count(), self.dim)
+            algorithm = self.select_algorithm(n, self.dim)
+        if algorithm not in ("linear", "ivf"):
+            # reference manager.py:17-36: the index factory rejects unknown
+            # algorithm names instead of silently picking one.
+            raise ValueError(f"unknown index algorithm: {algorithm!r}")
+        if n < 2:
+            # MLlib KMeans requires k >= 2; a 0/1-vector library is exactly
+            # the linear layout anyway.
+            algorithm = "linear"
         if algorithm == "linear":
             # Degenerate one-cluster layout: centroid = origin, all vectors
             # in cluster 0 (probe filter passes everything → exact scan).
@@ -451,7 +460,11 @@ class VectorStore:
             )
             assigned = vectors.select("vec_id", F.lit(0).alias("cluster_id"))
         else:
-            cents = kmeans_centroids(vectors, n_clusters=n_clusters)
+            # k must not exceed the vector count (MLlib contract; the
+            # reference sizes C ≈ √(n/2) with the same effect for tiny n).
+            cents = kmeans_centroids(
+                vectors, n_clusters=max(2, min(n_clusters, n))
+            )
             assigned = assign_clusters(vectors, cents)
         new_v = self.versions()["index"] + 1
         (
@@ -478,6 +491,10 @@ class VectorStore:
     def read_index(self, version: int | None = None) -> tuple[DataFrame, DataFrame]:
         v = self.versions()["index"] if version is None else version
         path = self._index_path(v)
+        if v < 1 or not os.path.exists(path):
+            # reference base.py IndexNotBuiltError: querying before build is
+            # a clean domain error, not a storage-layer stack trace.
+            raise ValueError(f"index not built (version {v})")
         chunks = self.spark.read.parquet(path)
         cents = self.spark.read.parquet(os.path.join(path, "_centroids"))
         return chunks, cents

@@ -447,6 +447,38 @@ def test_search_vector_dim_mismatch(spark, store):
         store.search_vector(1, [0.0] * 5)
 
 
+def test_query_before_build_fails(spark, store):
+    """Reference IndexNotBuiltError (tests/test_indexes.py
+    query_before_build_fails): searching an ingested-but-unbuilt store is
+    a clean domain error, not a storage stack trace."""
+    store.ingest_chunks(_chunk_rows(spark, 10))
+    with pytest.raises(ValueError, match="index not built"):
+        store.search_text(1, "chunk text number 1")
+    with pytest.raises(ValueError, match="index not built"):
+        store.search_vector(1, [0.0] * 16)
+
+
+def test_invalid_index_algorithm_rejected(spark, store):
+    """Reference index factory (manager.py:17-36; tests/test_indexes.py
+    create_invalid_index_type): unknown algorithm names raise — including
+    'kdtree', which this engine intentionally folds into linear/IVF
+    (SURVEY.md §4.1)."""
+    store.ingest_chunks(_chunk_rows(spark, 10))
+    for bad in ("bogus", "kdtree"):
+        with pytest.raises(ValueError, match="unknown index algorithm"):
+            store.build_index(1, algorithm=bad)
+
+
+def test_single_vector_index(spark, store):
+    """Reference tests/test_indexes.py single_vector_index: a one-chunk
+    library builds (cluster count clamps to n) and returns its chunk."""
+    store.ingest_chunks(_chunk_rows(spark, 1))
+    store.build_index(1, algorithm="ivf", n_clusters=8)
+    hits = store.search_text(1, "chunk text number 0 for library 1 with words", k=5)
+    rows = hits.collect()
+    assert len(rows) == 1 and rows[0]["rank"] == 1 and rows[0]["dist"] == 0.0
+
+
 def test_search_vector_value_bounds(spark, store):
     """Reference schemas/search.py:61-68: every query-embedding value
     bounded to ±1e6 — a validation error, not a clamp; exactly ±1e6 legal."""
