@@ -514,11 +514,13 @@ class VectorStore:
         pins a snapshot (reads are stable while a new build runs)."""
         _validate_k(k)
         text = _validate_query_text(text)
+        self._check_library_exists(library_id)
         q = self.spark.createDataFrame([(0, text)], "qid long, qtext string").select(
             "qid",
             fake_embedding(F.col("qtext"), self.dim).cast("array<float>").alias("qvec"),
         )
         idx, cents = self.read_index(version)
+        idx = idx.filter(F.col("library_id") == library_id)
         probes = probe_clusters(q, cents, nprobe)
         cand = self._skip_tombstones(
             idx.join(
@@ -529,6 +531,20 @@ class VectorStore:
             q, cand, k, id_col="chunk_id", vec_col="embedding"
         ).withColumnRenamed("vec_id", "chunk_id")
         return self._hydrate_and_threshold(hits, idx)
+
+    def _check_library_exists(self, library_id: int) -> None:
+        """Reference LibraryNotFoundError (search_service.py: a query names
+        a library; unknown ids 404). Checked against the control table when
+        one exists — stores driven purely through ingest_chunks (no library
+        CRUD) skip it, since chunk rows are then the only library record.
+        The search itself additionally scopes the index scan to the
+        library's rows, so a wrong id can never return another library's
+        hits (the filter pushes down to the parquet scan)."""
+        libs = self.list_libraries()
+        if libs is not None and libs.filter(
+            F.col("library_id") == library_id
+        ).isEmpty():
+            raise ValueError(f"library {library_id} not found")
 
     def _live_tombstones(self) -> DataFrame | None:
         """Chunk ids deleted SINCE the current index was built — the
@@ -606,10 +622,12 @@ class VectorStore:
                 raise ValueError(
                     f"embedding value at index {i} is out of range (±1e6)"
                 )
+        self._check_library_exists(library_id)
         q = self.spark.createDataFrame(
             [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
         )
         idx, cents = self.read_index(version)
+        idx = idx.filter(F.col("library_id") == library_id)
         probes = probe_clusters(q, cents, nprobe)
         cand = self._skip_tombstones(
             idx.join(

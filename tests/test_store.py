@@ -479,6 +479,23 @@ def test_single_vector_index(spark, store):
     assert len(rows) == 1 and rows[0]["rank"] == 1 and rows[0]["dist"] == 0.0
 
 
+def test_search_scoped_to_library(spark, store):
+    """Reference LibraryNotFoundError + per-library result scoping: a
+    search against a different library id never returns another library's
+    hits, and an id missing from the control table raises."""
+    store.ingest_chunks(_chunk_rows(spark, 20, library_id=1))
+    store.build_index(1, n_clusters=2)
+    # no control table → filter-only path: wrong id yields zero hits
+    assert store.search_text(9, "chunk text number 1 for library 1 with words").count() == 0
+    # with a control table, unknown ids are a clean 404-equivalent
+    store.create_library(1, "lib-one")
+    with pytest.raises(ValueError, match="not found"):
+        store.search_text(9, "chunk text number 1")
+    with pytest.raises(ValueError, match="not found"):
+        store.search_vector(9, [0.0] * 16)
+    assert store.search_text(1, "chunk text number 1 for library 1 with words").count() > 0
+
+
 def test_search_vector_value_bounds(spark, store):
     """Reference schemas/search.py:61-68: every query-embedding value
     bounded to ±1e6 — a validation error, not a clamp; exactly ±1e6 legal."""
