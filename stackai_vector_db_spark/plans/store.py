@@ -290,6 +290,44 @@ class VectorStore:
             )
         return out.drop("__seq")
 
+    def get_chunk(self, chunk_id: int):
+        """Point lookup (reference GET /chunks/{id},
+        chunk_service.py get_chunk): the chunk row, or a clean
+        ChunkNotFoundError equivalent. The predicate pushes down to the
+        parquet scan — at scale this reads the one row group holding the
+        id, not the corpus."""
+        cur = self.read_chunks()
+        rows = (
+            [] if cur is None
+            else cur.filter(F.col("chunk_id") == chunk_id).limit(1).collect()
+        )
+        if not rows:
+            raise ValueError(f"chunk {chunk_id} not found")
+        return rows[0]
+
+    def list_chunks(
+        self,
+        library_id: int | None = None,
+        document_id: int | None = None,
+    ) -> DataFrame | None:
+        """Scoped chunk listing (reference GET /documents/{id}/chunks and
+        /libraries/{id}/chunks, chunk_repository.py list_by_*): plain
+        pushed-down filters over the current snapshot."""
+        cur = self.read_chunks()
+        if cur is None:
+            return None
+        if library_id is not None:
+            cur = cur.filter(F.col("library_id") == library_id)
+        if document_id is not None:
+            cur = cur.filter(F.col("document_id") == document_id)
+        return cur
+
+    def count_chunks(self, library_id: int | None = None) -> int:
+        """Chunk count (reference chunk_service.py count_chunks) — a
+        metadata-only aggregate over the snapshot."""
+        df = self.list_chunks(library_id=library_id)
+        return 0 if df is None else df.count()
+
     def compact_chunks(self) -> int:
         """Fold the manifest's segments into one partition-pruned rewrite —
         the maintenance job that bounds small-file count and restores

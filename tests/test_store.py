@@ -447,6 +447,27 @@ def test_search_vector_dim_mismatch(spark, store):
         store.search_vector(1, [0.0] * 5)
 
 
+def test_chunk_get_list_count(spark, store):
+    """Reference chunk read surface (GET /chunks/{id}, list-by-document,
+    list-by-library, count): point lookup returns the row or a clean
+    not-found; listings scope by pushed-down filters; counts agree."""
+    store.ingest_chunks(_chunk_rows(spark, 20, library_id=1))
+    store.ingest_chunks(_chunk_rows(spark, 10, library_id=2))
+    some_id = 1 * 100000 + 0 * 100 + 3
+    got = store.get_chunk(some_id)
+    assert got["chunk_id"] == some_id and got["library_id"] == 1
+    with pytest.raises(ValueError, match="chunk 42424242 not found"):
+        store.get_chunk(42424242)
+    assert store.count_chunks() == 30
+    assert store.count_chunks(library_id=1) == 20
+    assert store.list_chunks(library_id=2).count() == 10
+    by_doc = store.list_chunks(library_id=1, document_id=0)
+    assert by_doc.count() == 4  # docs cycle i % 5 over 20 rows
+    # deletes are visible to the read surface (merge-on-read tombstones)
+    store.delete_documents(spark.createDataFrame([(0,)], "document_id long"))
+    assert store.count_chunks(library_id=1) == 16
+
+
 def test_query_before_build_fails(spark, store):
     """Reference IndexNotBuiltError (tests/test_indexes.py
     query_before_build_fails): searching an ingested-but-unbuilt store is
