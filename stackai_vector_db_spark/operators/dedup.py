@@ -274,6 +274,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = None,
     shingle_strategy: str = "native",
     shingle_base: DataFrame | None = None,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
     shingle → signature → band buckets → candidate pairs (band join) →
@@ -286,6 +287,9 @@ def minhash_lsh_pairs(
     computed once per table version, not once per dedup run. When given,
     this function persists nothing (the caller owns the lifecycle);
     otherwise it builds and persists the base itself, once per call.
+    ``band_index`` likewise injects a stored ``(id, band, bh)`` bucket
+    table (the second half of :func:`build_minhash_index`'s output) so a
+    run against an indexed corpus derives no signatures at all.
 
     ``max_bucket_size`` is the mega-bucket guard for corpus-scale runs: a
     band bucket holding B docs emits B² candidate rows, so one degenerate
@@ -308,15 +312,18 @@ def minhash_lsh_pairs(
             "lsh_pairs_base",
             with_shingle_sets(docs, text_col, id_col, k, strategy=shingle_strategy),
         )
-    sig = base.select(
-        id_col,
-        "shingle_set",
-        minhash_signature(F.col("shingle_set"), n_hashes).alias("sig"),
-    )
-    banded = sig.select(
-        id_col,
-        F.explode(band_hashes(F.col("sig"), n_bands, r)).alias("b"),
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    if band_index is not None:
+        banded = band_index
+    else:
+        sig = base.select(
+            id_col,
+            "shingle_set",
+            minhash_signature(F.col("shingle_set"), n_hashes).alias("sig"),
+        )
+        banded = sig.select(
+            id_col,
+            F.explode(band_hashes(F.col("sig"), n_bands, r)).alias("b"),
+        ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bh").agg(

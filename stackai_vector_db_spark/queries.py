@@ -1984,7 +1984,35 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=4,
         jaccard_threshold=0.5,
         shingle_base=_shingle_base(spark, sf_dir),
+        band_index=_lsh_banded(spark, sf_dir),
     )
+
+
+_LSH_BANDED: dict = {}
+
+
+def _lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (id, band, bh) bucket table for the augmented dedup corpus —
+    the second stored layer of the LSH index (build_minhash_index writes
+    both tables at scale, ``bucketBy(n, band, bh)``). Derived from the
+    shared shingle base with the exact signature/band arithmetic of the
+    operator, persisted once per (session, table)."""
+    from stackai_vector_db_spark.operators.dedup import band_hashes, minhash_signature
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_BANDED:
+        base = _shingle_base(spark, sf_dir)
+        sig = base.select(
+            "doc_id", minhash_signature(F.col("shingle_set"), 16).alias("sig")
+        )
+        banded = (
+            sig.select("doc_id", F.explode(band_hashes(F.col("sig"), 4, 4)).alias("b"))
+            .select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+            .persist()
+        )
+        banded.count()
+        _LSH_BANDED[key] = banded
+    return _LSH_BANDED[key]
 
 
 _PERSIST_SLOTS: dict = {}
