@@ -77,14 +77,27 @@ def null_metadata(fields: list[tuple[str, str]]) -> Column:
 # the two control-plane metadata schemas; 'len' = max string length,
 # 'min' = numeric lower bound. app/schemas/document.py:11-34 and
 # app/schemas/library.py:11-33 (max_name_length = 255, core/config.py:53).
+MAX_NAME_LENGTH = 255  # reference core/config.py:53
+
 DOCUMENT_METADATA_BOUNDS: dict[str, tuple[str, int]] = {
-    "author": ("len", 255),
+    "author": ("len", MAX_NAME_LENGTH),
     "source": ("len", 500),
     "language": ("len", 50),
     "format": ("len", 50),
     "category": ("len", 100),
     "chunk_count": ("min", 0),
     "word_count": ("min", 0),
+}
+
+CHUNK_METADATA_BOUNDS: dict[str, tuple] = {
+    "chunk_type": ("len", 100),
+    "section": ("len", MAX_NAME_LENGTH),
+    "language": ("len", 50),
+    "embedding_model": ("len", 100),
+    "page_number": ("min", 1),
+    "confidence": ("range", 0.0, 1.0),
+    "embedding_dim": ("min", 1),
+    "similarity_threshold": ("range", 0.0, 10.0),
 }
 
 LIBRARY_METADATA_BOUNDS: dict[str, tuple[str, int]] = {
@@ -100,7 +113,7 @@ LIBRARY_METADATA_BOUNDS: dict[str, tuple[str, int]] = {
 def metadata_lit(
     fields: list[tuple[str, str]],
     values: dict | None,
-    bounds: dict[str, tuple[str, int]] | None = None,
+    bounds: dict[str, tuple] | None = None,
 ) -> Column:
     """Build a struct literal from a (possibly partial) dict, validating the
     closed schema — the dataclass constructor's unknown-field error
@@ -114,22 +127,24 @@ def metadata_lit(
     unknown = set(values) - known
     if unknown:
         raise ValueError(f"unknown metadata fields: {sorted(unknown)}")
-    for name, (kind, bound) in (bounds or {}).items():
+    for name, spec in (bounds or {}).items():
         v = values.get(name)
         if v is None:
             continue
-        if kind == "len" and len(v) > bound:
-            raise ValueError(f"metadata field {name!r} longer than {bound} chars")
-        if kind == "min" and v < bound:
-            raise ValueError(f"metadata field {name!r} must be >= {bound}")
+        kind = spec[0]
+        if kind == "len" and len(v) > spec[1]:
+            raise ValueError(f"metadata field {name!r} longer than {spec[1]} chars")
+        if kind == "min" and v < spec[1]:
+            raise ValueError(f"metadata field {name!r} must be >= {spec[1]}")
+        if kind == "range" and not spec[1] <= v <= spec[2]:
+            raise ValueError(
+                f"metadata field {name!r} must be in [{spec[1]}, {spec[2]}]"
+            )
     cols = []
     for name, typ in fields:
         v = values.get(name)
         cols.append(F.lit(v).cast(typ).alias(name))
     return F.struct(*cols)
-
-
-MAX_NAME_LENGTH = 255  # reference core/config.py:53
 
 
 def chunk_metadata_valid(col: Column) -> Column:

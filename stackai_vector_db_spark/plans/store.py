@@ -41,6 +41,7 @@ from stackai_vector_db_spark.operators.ivf import (
 from stackai_vector_db_spark.operators.knn import brute_force_topk
 
 from stackai_vector_db_spark.plans.metadata import (
+    CHUNK_METADATA_BOUNDS,
     CHUNK_METADATA_DDL,
     CHUNK_METADATA_FIELDS,
     DOCUMENT_METADATA_FIELDS,
@@ -344,13 +345,40 @@ class VectorStore:
         return v + 1
 
     def update_chunk_text(self, chunk_id: int, new_text: str) -> int:
-        """Copy-on-write update (reference ``entities.py:259-294``: updates
-        return new immutable instances): rewrite the row with new text +
-        re-computed embedding into the next chunks version; readers pinned
-        to the old version are untouched. Marks the library dirty
-        (``chunk_service.py:117-120``)."""
-        if not new_text.strip():
+        """Text-only update; see :meth:`update_chunk`."""
+        return self.update_chunk(chunk_id, text=new_text, compute_embedding=True)
+
+    def update_chunk(
+        self,
+        chunk_id: int,
+        text: str | None = None,
+        embedding: list[float] | None = None,
+        start_index: int | None = None,
+        end_index: int | None = None,
+        metadata: dict | None = None,
+        compute_embedding: bool = False,
+    ) -> int:
+        """Copy-on-write partial update — the reference's ChunkUpdate PATCH
+        (``schemas/chunk.py:150-180``, ``entities.py:259-294``: updates
+        return new immutable instances): rewrite the row with the given
+        fields into the next chunks version; readers pinned to the old
+        version are untouched. Marks the library dirty
+        (``chunk_service.py:117-120``). Validators mirror the schema:
+        non-blank text, start/end >= 0 and end >= start, embedding dim
+        matched to the store, metadata per the closed-schema bounds."""
+        if text is not None and not text.strip():
             raise ValueError("chunk text must be non-empty")
+        if start_index is not None and start_index < 0:
+            raise ValueError("start_index must be >= 0")
+        if end_index is not None:
+            if end_index < 0:
+                raise ValueError("end_index must be >= 0")
+            if start_index is not None and end_index < start_index:
+                raise ValueError("end_index must be >= start_index")
+        if embedding is not None and len(embedding) != self.dim:
+            raise ValueError(
+                f"embedding dim {len(embedding)} != store dim {self.dim}"
+            )
         cur = self.read_chunks()
         old = cur.filter(F.col("chunk_id") == chunk_id) if cur is not None else None
         if old is None or old.isEmpty():
@@ -358,10 +386,30 @@ class VectorStore:
         # Merge-on-read update = tombstone(old) + one-row segment(new):
         # O(1 row) written, never a corpus rewrite. The new segment's seq
         # equals the tombstone's, so only the OLD row is masked.
-        updated = old.withColumn("text", F.lit(new_text)).withColumn(
-            "embedding",
-            fake_embedding(F.lit(new_text), self.dim).cast("array<float>"),
-        )
+        updated = old
+        if text is not None:
+            updated = updated.withColumn("text", F.lit(text))
+        if embedding is not None:
+            updated = updated.withColumn(
+                "embedding",
+                F.lit([float(x) for x in embedding]).cast("array<float>"),
+            )
+        elif compute_embedding and text is not None:
+            updated = updated.withColumn(
+                "embedding",
+                fake_embedding(F.lit(text), self.dim).cast("array<float>"),
+            )
+        if start_index is not None:
+            updated = updated.withColumn("start_index", F.lit(start_index).cast("int"))
+        if end_index is not None:
+            updated = updated.withColumn("end_index", F.lit(end_index).cast("int"))
+        if metadata is not None:
+            updated = updated.withColumn(
+                "metadata",
+                metadata_lit(
+                    CHUNK_METADATA_FIELDS, metadata, CHUNK_METADATA_BOUNDS
+                ),
+            )
         v = self.versions()["chunks"] + 1
         self._tombstone(old.select("chunk_id"), v)
         seg = os.path.join(self.root, "chunks", f"seg_{v}")

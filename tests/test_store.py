@@ -447,6 +447,37 @@ def test_search_vector_dim_mismatch(spark, store):
         store.search_vector(1, [0.0] * 5)
 
 
+def test_update_chunk_partial_fields(spark, store):
+    """Reference ChunkUpdate PATCH (schemas/chunk.py:150-180): partial
+    updates of embedding/indices/metadata with the schema's validators;
+    text updates only recompute the embedding when asked."""
+    store.ingest_chunks(_chunk_rows(spark, 5))
+    cid = 100000 + 2
+    store.update_chunk(cid, start_index=7, end_index=9,
+                       metadata={"confidence": 0.75, "page_number": 3})
+    row = store.get_chunk(cid)
+    assert (row["start_index"], row["end_index"]) == (7, 9)
+    assert abs(row["metadata"]["confidence"] - 0.75) < 1e-6
+    # explicit embedding replaces; dim checked
+    store.update_chunk(cid, embedding=[0.5] * 16)
+    assert store.get_chunk(cid)["embedding"][0] == 0.5
+    with pytest.raises(ValueError, match="dim"):
+        store.update_chunk(cid, embedding=[0.5] * 4)
+    # validators mirror the schema
+    with pytest.raises(ValueError, match="end_index"):
+        store.update_chunk(cid, start_index=5, end_index=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        store.update_chunk(cid, text="   ")
+    with pytest.raises(ValueError, match="confidence"):
+        store.update_chunk(cid, metadata={"confidence": 1.5})
+    # text update without compute_embedding keeps the stored embedding
+    before = store.get_chunk(cid)["embedding"]
+    store.update_chunk(cid, text="new text, embedding kept")
+    after = store.get_chunk(cid)
+    assert after["text"] == "new text, embedding kept"
+    assert list(after["embedding"]) == list(before)
+
+
 def test_chunk_get_list_count(spark, store):
     """Reference chunk read surface (GET /chunks/{id}, list-by-document,
     list-by-library, count): point lookup returns the row or a clean
