@@ -1,0 +1,53 @@
+"""Driver-contract invariants for the query registry (no Spark session):
+sweep completeness, oracle coverage, and the rows-only allowlist. These
+catch the drift class that cost rounds 1-3 driver proof: a query
+registered but left out of the budgeted sweep, or silently losing its
+oracle."""
+
+from __future__ import annotations
+
+from stackai_vector_db_spark.queries import REGISTRY, SWEEP_ORDER, _ordered
+
+# Every id here is rows-only BY DESIGN (non-SQL-expressible) and documented
+# at its @register site; anything else must carry a DuckDB oracle.
+ROWS_ONLY_ALLOWED = {
+    "q_approx_distinct",   # HLL sketch vs exact count
+    "q_kmeans_build",      # MLlib kmeans|| init != any SQL-expressible seed
+    "q_pq_adc_topk",       # codebooks from seeded numpy Lloyd
+    "q_ivf_pq_topk",       # same codebooks
+    "q_multimodal_features",  # has an oracle since r4 — keep out of this set
+} - {"q_multimodal_features"}
+
+
+def test_sweep_order_is_exactly_the_registry():
+    assert len(SWEEP_ORDER) == len(set(SWEEP_ORDER)), "duplicate sweep ids"
+    assert set(SWEEP_ORDER) == set(REGISTRY), (
+        "SWEEP_ORDER and REGISTRY must list the same query ids"
+    )
+    assert _ordered() == SWEEP_ORDER
+
+
+def test_rows_only_set_is_closed():
+    no_oracle = {n for n, qd in REGISTRY.items() if qd.oracle is None}
+    assert no_oracle == ROWS_ONLY_ALLOWED, (
+        f"rows-only drift: unexpected={sorted(no_oracle - ROWS_ONLY_ALLOWED)} "
+        f"regained-oracle={sorted(ROWS_ONLY_ALLOWED - no_oracle)}"
+    )
+
+
+def test_unproven_ids_lead_the_sweep():
+    """The driver records at most 50 correctness rows per round; the ids
+    that still need proof (per round-4 analysis) must sit inside the
+    budget. If this fails after editing SWEEP_ORDER, re-read the ordering
+    comment above it."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        r3 = set(json.load(f))
+    top50 = set(SWEEP_ORDER[:50])
+    missing = [q for q in SWEEP_ORDER if q not in r3 and q not in top50]
+    assert not missing, f"ids lacking an r3 row sit past the 50-row budget: {missing}"
