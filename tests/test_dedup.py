@@ -163,6 +163,64 @@ def test_incremental_equals_batch_decomposition(spark):
     assert merged == full
 
 
+def test_incremental_decomposition_random_splits(spark):
+    """Union-decomposition holds for ANY split: chain K random batches
+    through the incremental path (each batch deduped against the index of
+    everything before it) and the union of all emitted pairs must equal
+    the one-shot batch self-join over the whole corpus — every pair once,
+    emitted by the batch that completes it."""
+    import random
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+
+    rng = random.Random(7)
+    rng.shuffle(ids)
+    cuts = sorted(rng.sample(range(1, len(ids)), 3))
+    slices = [
+        set(ids[a:b]) for a, b in zip([0] + cuts, cuts + [len(ids)])
+    ]
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(corpus).collect()
+    }
+
+    merged: dict = {}
+    seen: set = set()
+    for batch_ids in slices:
+        batch = corpus.filter(F.col("doc_id").isin(list(batch_ids)))
+        if seen:
+            old = corpus.filter(F.col("doc_id").isin(list(seen)))
+            ob, obd = build_minhash_index(old)
+            inc = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in incremental_minhash_pairs(batch, ob, obd).collect()
+            }
+        else:
+            inc = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in minhash_lsh_pairs(batch).collect()
+            }
+        assert set(inc) & set(merged) == set(), "pair emitted twice"
+        merged.update(inc)
+        seen |= batch_ids
+    assert merged == full
+
+
 def test_shingle_arrow_matches_native(spark):
     """The Arrow shingle kernel must be bit-identical to the JVM HOF form —
     on real fixture docs AND on whitespace edge cases (leading/trailing/
