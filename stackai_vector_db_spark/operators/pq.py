@@ -347,6 +347,159 @@ def ivf_pq_search(
     return _rank_topk(reduced, k)
 
 
+def ivf_pq_residual_build(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    n_codes: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """Residual IVF-PQ build (the FAISS ``IVFx,PQy`` / IVFADC layout,
+    Jégou et al. 2011 §IV): PQ trains and encodes ``vector − assigned
+    coarse centroid`` rather than the raw vector. Residuals concentrate
+    around the origin with far less variance than raw vectors, so the same
+    M×K code budget quantizes them with lower error → higher recall at
+    identical storage and query cost.
+
+    Returns ``(codebooks, coded)`` where ``coded`` is
+    ``(vec_id, codes, cluster_id)`` — the same shape ``ivf_pq_search``'s
+    ``coded_vectors`` takes, written ``partitionBy("cluster_id")`` at
+    scale. The residual subtraction is a JVM ``zip_with``; only the
+    bounded train sample is ever collected.
+
+    Honest measurement note: the gain is proportional to how much variance
+    the coarse clusters capture. On real embedding corpora that is a lot
+    (FAISS defaults to IVFADC for this reason); on this repo's synthetic
+    fixture the within-cluster variance ≈ total variance and residual
+    measures ~par with raw PQ (tests assert exactness properties and a
+    parity envelope, not superiority)."""
+    from stackai_vector_db_spark.operators.ivf import assign_clusters
+
+    # The (vec_id, cluster_id) assignment is the stored IVF layout — tiny
+    # rows (two longs), persisted so the residual branch and the final
+    # codes join read one computation.
+    assigned = assign_clusters(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster_id").persist()
+    assigned.count()
+    try:
+        resid = (
+            vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+            .join(assigned, id_col)
+            .join(F.broadcast(centroids), "cluster_id")
+            .select(
+                id_col,
+                "cluster_id",
+                F.zip_with("__v", "centroid", lambda a, b: a - b).alias("__r"),
+            )
+        )
+        codebooks = train_pq(
+            resid, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col="__r"
+        )
+        coded = encode_pq(resid, codebooks, id_col=id_col, vec_col="__r").join(
+            assigned, id_col
+        )
+        coded = coded.localCheckpoint(eager=True)
+    finally:
+        assigned.unpersist(blocking=False)
+    return codebooks, coded
+
+
+def ivf_pq_residual_search(
+    queries: DataFrame,
+    coded_vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    nprobe: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Search the residual IVF-PQ layout: per probed (query, cluster) pair
+    the ADC lookup table is built over ``qvec − centroid`` (the query's
+    residual in that cluster's frame), then candidates rank exactly like
+    ``ivf_pq_search``. LUT cost is Q·nprobe·M·K doubles — driver-side and
+    tiny by the same bounded-collect contract as the raw path (queries
+    ≤ a handful per request; centroids are the stored coarse table)."""
+    from stackai_vector_db_spark.operators.ivf import probe_clusters
+
+    m, n_k, d_sub = codebooks.shape
+    qvec_map = {
+        int(r[0]): np.array(r[1], dtype=np.float64)
+        for r in queries.select(qid_col, qvec_col).collect()
+    }
+    cent_map = {
+        int(r["cluster_id"]): np.array(r["centroid"], dtype=np.float64)
+        for r in centroids.collect()
+    }
+    probes = probe_clusters(queries, centroids, nprobe, "euclidean", qid_col, qvec_col)
+    probe_pairs = [
+        (int(r[0]), int(r[1]))
+        for r in probes.select(qid_col, "cluster_id").collect()
+    ]
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    for qid, cid in probe_pairs:
+        rq = qvec_map[qid] - cent_map[cid]
+        lut = np.empty((m, n_k), dtype=np.float64)
+        for sub in range(m):
+            lut[sub] = _sq_dists(
+                rq[sub * d_sub : (sub + 1) * d_sub][None, :], codebooks[sub]
+            )[0]
+        luts[(qid, cid)] = lut.ravel()
+
+    cand = coded_vectors.join(
+        F.broadcast(probes.select(qid_col, "cluster_id")), "cluster_id"
+    ).select("qid", "vec_id", "codes", "cluster_id")
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs = np.arange(m, dtype=np.int64) * n_k
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            batch_qids = pdf["qid"].to_numpy(dtype=np.int64)
+            batch_cids = pdf["cluster_id"].to_numpy(dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            flat_codes = np.array(list(pdf["codes"]), dtype=np.int64) + offs[None, :]
+            # Pass 1: distances via per-(qid, cluster) segment LUT gathers.
+            combo = batch_qids * (batch_cids.max() + 1) + batch_cids
+            order_c = np.argsort(combo, kind="stable")
+            c_sorted = combo[order_c]
+            seg_starts = np.flatnonzero(np.r_[True, c_sorted[1:] != c_sorted[:-1]])
+            seg_ends = np.r_[seg_starts[1:], len(c_sorted)]
+            d2 = np.empty(len(pdf), dtype=np.float64)
+            for s, e in zip(seg_starts, seg_ends):
+                seg = order_c[s:e]
+                lut = luts[(int(batch_qids[seg[0]]), int(batch_cids[seg[0]]))]
+                d2[seg] = lut[flat_codes[seg]].sum(axis=1)
+            dists = np.round(np.sqrt(np.maximum(d2, 0.0)), ROUND)
+            # Pass 2: per-qid local top-k across that query's probed clusters.
+            order_q = np.argsort(batch_qids, kind="stable")
+            q_sorted = batch_qids[order_q]
+            starts = np.flatnonzero(np.r_[True, q_sorted[1:] != q_sorted[:-1]])
+            ends = np.r_[starts[1:], len(q_sorted)]
+            out_q, out_v, out_d = [], [], []
+            for s, e in zip(starts, ends):
+                seg = order_q[s:e]
+                seg_vids = vids[seg]
+                seg_d = dists[seg]
+                sel = _topk_idx(seg_d, seg_vids, min(k, e - s))
+                out_q.append(np.full(len(sel), q_sorted[s], dtype=np.int64))
+                out_v.append(seg_vids[sel])
+                out_d.append(seg_d[sel])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    reduced = cand.mapInPandas(part, schema="qid long, vec_id long, dist double")
+    return _rank_topk(reduced, k)
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     """Fraction of exact top-k ids recovered by the approximate top-k."""
     hits = approx.filter(F.col("rank") <= k).select("qid", "vec_id")

@@ -151,3 +151,91 @@ def test_ivf_pq_search_recall_and_subset(spark, emb, codebooks):
         .distinct()
     )
     assert all(r is not None for r in joined.collect())
+
+
+def test_ivf_pq_residual_exact_when_residuals_quantizable(spark):
+    """Exactness property of the residual (IVFADC) path: when every
+    cluster's residuals take at most n_codes distinct values per subspace,
+    PQ quantization is LOSSLESS, so full-probe residual search must equal
+    brute-force kNN exactly — distances included. Built by placing vectors
+    at centroid + delta with delta drawn from a small set."""
+    from stackai_vector_db_spark.operators.knn import brute_force_topk
+    from stackai_vector_db_spark.operators.pq import (
+        ivf_pq_residual_build,
+        ivf_pq_residual_search,
+    )
+
+    dim = 8
+    # Dyadic values only: exactly representable in float32/64, so every
+    # difference/square/sum is exact regardless of accumulation order and
+    # the two plans' distances agree bit-for-bit, not just to 6 decimals.
+    deltas = [
+        [0.0] * dim,
+        [0.5] + [0.0] * (dim - 1),
+        [0.0, -0.25] + [0.0] * (dim - 2),
+        [0.125] * dim,
+    ]
+    cents_py = [[float(10 * c + 1)] * dim for c in range(3)]
+    rows = []
+    vid = 0
+    for c, cent in enumerate(cents_py):
+        for d in deltas:
+            rows.append((vid, [cent[i] + d[i] for i in range(dim)], c))
+            vid += 1
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = spark.createDataFrame(
+        [(c, cents_py[c]) for c in range(3)],
+        "cluster_id int, centroid array<double>",
+    )
+    cb, coded = ivf_pq_residual_build(
+        vecs, cents, m=4, n_codes=len(deltas), seed=1
+    )
+    qrows = [(r[0], r[1]) for r in rows[:5]]
+    q = spark.createDataFrame(qrows, "qid long, qvec array<float>")
+    got = ivf_pq_residual_search(q, coded, cents, cb, k=4, nprobe=3)
+    want = brute_force_topk(q, vecs, 4)
+    a = {(r["qid"], r["vec_id"], r["dist"], r["rank"]) for r in got.collect()}
+    b = {(r["qid"], r["vec_id"], r["dist"], r["rank"]) for r in want.collect()}
+    assert a == b
+
+
+def test_ivf_pq_residual_parity_envelope_and_determinism(spark, emb, codebooks):
+    """On the synthetic fixture (within-cluster variance ~ total variance)
+    residual encoding measures ~par with raw PQ — assert the parity
+    envelope (no silent quality cliff) and bit-identical reruns."""
+    from stackai_vector_db_spark.operators.ivf import (
+        assign_clusters,
+        label_mean_centroids,
+    )
+    from stackai_vector_db_spark.operators.knn import brute_force_topk
+    from stackai_vector_db_spark.operators.pq import (
+        ivf_pq_residual_build,
+        ivf_pq_residual_search,
+        ivf_pq_search,
+        recall_at_k,
+    )
+
+    full = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cents = label_mean_centroids(full)
+    n_clusters = cents.count()
+    qrows = full.orderBy("vec_id").limit(8).collect()
+    q = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    )
+    exact = brute_force_topk(q, full, 10)
+    assigned = assign_clusters(full, cents).select("vec_id", "cluster_id")
+    raw_codes = encode_pq(full, codebooks).join(assigned, "vec_id")
+    raw = ivf_pq_search(q, raw_codes, cents, codebooks, k=10, nprobe=n_clusters)
+    cb_r, coded_r = ivf_pq_residual_build(full, cents, m=8, n_codes=256, seed=42)
+    res = ivf_pq_residual_search(q, coded_r, cents, cb_r, k=10, nprobe=n_clusters)
+    r_raw = recall_at_k(raw, exact, 10)
+    r_res = recall_at_k(res, exact, 10)
+    assert r_res >= r_raw - 0.15  # parity envelope, not superiority
+    res2 = ivf_pq_residual_search(q, coded_r, cents, cb_r, k=10, nprobe=n_clusters)
+    a = {(r["qid"], r["vec_id"], r["dist"]) for r in res.collect()}
+    b = {(r["qid"], r["vec_id"], r["dist"]) for r in res2.collect()}
+    assert a == b
