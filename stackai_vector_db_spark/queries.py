@@ -1087,6 +1087,42 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_residual_artifacts(spark: SparkSession, sf_dir: str):
+    """Residual (IVFADC) codebooks + coded table — the second stored
+    IVF-PQ layout variant, built once per (session, table) like the raw
+    one. Deterministic (seeded train over zip_with residuals)."""
+    from stackai_vector_db_spark.operators import pq as pq_ops
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf_pq_residual")
+    if key not in _IVF_ARTIFACTS:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        cents = _ivf_centroids(spark, sf_dir)
+        codebooks, coded = pq_ops.ivf_pq_residual_build(
+            emb, cents, m=8, n_codes=64, seed=42
+        )
+        _IVF_ARTIFACTS[key] = (cents, codebooks, coded)
+    return _IVF_ARTIFACTS[key]
+
+
+@register("q_ivf_pq_residual_topk", oracle=None)  # ⚠ rows-only: trained codebooks
+def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: residual IVF-PQ (the FAISS IVFADC layout) — PQ codes over
+    ``vector − coarse centroid``, ADC lookup tables per probed (query,
+    cluster) pair. Same storage/query cost as q_ivf_pq_topk; quantization
+    error tracks within-cluster variance (see
+    operators/pq.py:ivf_pq_residual_build). Deterministic end-to-end;
+    exactness property tested in tests/test_pq.py."""
+    from stackai_vector_db_spark.operators import pq as pq_ops
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cents, codebooks, coded = _ivf_pq_residual_artifacts(spark, sf_dir)
+    return pq_ops.ivf_pq_residual_search(
+        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # M5 extensions — relational (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
@@ -2945,6 +2981,7 @@ SWEEP_ORDER = [
     "q_assign_centroid", "q_ivf_probe_topk",
     "q_corpus_pipeline", "q_knn_graph", "q_dedup_components",
     "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
+    "q_ivf_pq_residual_topk",  # new in r4 — needs its first row
     # --- 27-50: §2-core regression set (r3-green) ---
     "q_knn_brute_topk", "q_knn_window_rank",
     "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",
@@ -2953,9 +2990,9 @@ SWEEP_ORDER = [
     "q_cluster_stats", "q_dirty_ratio", "q_index_stats", "q_dim_check",
     "q_pagination", "q_sample_hash", "q_except_deleted",
     "q_fn_euclidean", "q_fn_cosine", "q_ingest_validate",
-    "q_tpch_q3", "q_tpch_q5",
+    "q_tpch_q3",
     # --- past 50: r3-green, next row in a later round's rotation ---
-    "q_token_count", "q_count_distinct", "q_quality_score",
+    "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
     "q_union_libraries", "q_text_stats", "q_dedup_exact", "q_lang_id",
     "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
     "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",

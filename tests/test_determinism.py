@@ -27,6 +27,7 @@ from stackai_vector_db_spark import queries as Q
 STRICT = [
     "q_pq_adc_topk",
     "q_ivf_pq_topk",
+    "q_ivf_pq_residual_topk",
     "q_approx_distinct",
     "q_multimodal_features",
 ]

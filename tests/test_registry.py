@@ -11,12 +11,12 @@ from stackai_vector_db_spark.queries import REGISTRY, SWEEP_ORDER, _ordered
 # Every id here is rows-only BY DESIGN (non-SQL-expressible) and documented
 # at its @register site; anything else must carry a DuckDB oracle.
 ROWS_ONLY_ALLOWED = {
-    "q_approx_distinct",   # HLL sketch vs exact count
-    "q_kmeans_build",      # MLlib kmeans|| init != any SQL-expressible seed
-    "q_pq_adc_topk",       # codebooks from seeded numpy Lloyd
-    "q_ivf_pq_topk",       # same codebooks
-    "q_multimodal_features",  # has an oracle since r4 — keep out of this set
-} - {"q_multimodal_features"}
+    "q_approx_distinct",        # HLL sketch vs exact count
+    "q_kmeans_build",           # MLlib kmeans|| init != any SQL-expressible seed
+    "q_pq_adc_topk",            # codebooks from seeded numpy Lloyd
+    "q_ivf_pq_topk",            # same codebooks
+    "q_ivf_pq_residual_topk",   # residual codebooks, same reason
+}
 
 
 def test_sweep_order_is_exactly_the_registry():
