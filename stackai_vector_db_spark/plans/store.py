@@ -756,6 +756,56 @@ class VectorStore:
             F.lower("name")
         )
 
+    def get_library(self, library_id: int):
+        """Point lookup (reference GET /libraries/{id},
+        library_service.py get_library): the row or a clean not-found."""
+        libs = self.list_libraries()
+        rows = (
+            [] if libs is None
+            else libs.filter(F.col("library_id") == library_id).limit(1).collect()
+        )
+        if not rows:
+            raise ValueError(f"library {library_id} not found")
+        return rows[0]
+
+    def get_library_by_name(self, name: str):
+        """Name lookup, case-insensitive — the uniqueness invariant the
+        create path enforces makes lower(name) a key (reference
+        library_service.py get_library_by_name + repository name index)."""
+        libs = self.list_libraries()
+        rows = (
+            [] if libs is None
+            else libs.filter(
+                F.lower("name") == name.strip().lower()
+            ).limit(1).collect()
+        )
+        if not rows:
+            raise ValueError(f"library named {name!r} not found")
+        return rows[0]
+
+    def library_exists(self, library_id: int) -> bool:
+        libs = self.list_libraries()
+        return libs is not None and not libs.filter(
+            F.col("library_id") == library_id
+        ).isEmpty()
+
+    def library_name_exists(self, name: str) -> bool:
+        libs = self.list_libraries()
+        return libs is not None and not libs.filter(
+            F.lower("name") == name.strip().lower()
+        ).isEmpty()
+
+    def get_document(self, document_id: int):
+        """Point lookup (reference GET /documents/{id})."""
+        docs = self.list_documents()
+        rows = (
+            [] if docs is None
+            else docs.filter(F.col("document_id") == document_id).limit(1).collect()
+        )
+        if not rows:
+            raise ValueError(f"document {document_id} not found")
+        return rows[0]
+
     def create_library(
         self,
         library_id: int,

@@ -447,6 +447,26 @@ def test_search_vector_dim_mismatch(spark, store):
         store.search_vector(1, [0.0] * 5)
 
 
+def test_library_document_read_surface(spark, store):
+    """Reference read endpoints: get-by-id / get-by-name (case-insensitive,
+    per the create path's uniqueness invariant) / exists checks, each with
+    a clean not-found."""
+    store.create_library(1, "My Library", "desc")
+    store.create_document(10, 1, "Doc Title")
+    assert store.get_library(1)["name"] == "My Library"
+    assert store.get_library_by_name("my library")["library_id"] == 1
+    assert store.library_exists(1) and not store.library_exists(9)
+    assert store.library_name_exists("MY LIBRARY")
+    assert not store.library_name_exists("other")
+    assert store.get_document(10)["title"] == "Doc Title"
+    with pytest.raises(ValueError, match="library 9 not found"):
+        store.get_library(9)
+    with pytest.raises(ValueError, match="not found"):
+        store.get_library_by_name("nope")
+    with pytest.raises(ValueError, match="document 99 not found"):
+        store.get_document(99)
+
+
 def test_update_chunk_partial_fields(spark, store):
     """Reference ChunkUpdate PATCH (schemas/chunk.py:150-180): partial
     updates of embedding/indices/metadata with the schema's validators;
