@@ -2742,6 +2742,107 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_e2e",
+    oracle="""
+    WITH aug AS (SELECT doc_id, text FROM documents),
+    base AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(range(1, len(th)-1),
+               i -> (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007))) AS ss
+      FROM (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 t -> list_reduce(
+                        list_prepend(0::BIGINT,
+                          list_transform(range(1, length(t)+1),
+                            c -> ord(substr(t, c, 1))::BIGINT)),
+                        (a, x) -> (a*31 + x) % 1000000007)) AS th
+        FROM aug)
+      WHERE len(th) >= 3),
+    bench AS (SELECT DISTINCT unnest(ss) AS h FROM base WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, ss FROM base WHERE doc_id % 97 <> 0),
+    cont AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(ss) AS h FROM corpus) c
+      JOIN bench USING (h)),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM corpus JOIN documents d USING (doc_id)
+      LEFT JOIN cont USING (doc_id)
+      WHERE cont.doc_id IS NULL),
+    q AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+               / nullif(length(text), 0) AS praw,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> list_contains(['the','and','of','to','in'], x)))::DOUBLE AS sw_hits
+      FROM kept),
+    scored AS (
+      SELECT doc_id, lang, words,
+             round(0.4 * least(1.0, words / 50.0)
+                 + 0.4 * least(1.0, 10.0 * (CASE WHEN words = 0 THEN 0.0 ELSE sw_hits / words END))
+                 + 0.2 * (1.0 - least(1.0, 5.0 * coalesce(praw, 0.0))), 6) AS score
+      FROM q),
+    samp AS (
+      SELECT doc_id, lang, words::BIGINT AS toks
+      FROM (SELECT *, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+            FROM scored WHERE score >= 0.5)
+      WHERE xor(hv, hv >> 16) % 100 <
+            CASE WHEN lang = 'en' THEN 50 ELSE 80 END),
+    p AS (
+      SELECT doc_id, lang, toks,
+             COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM samp)
+    SELECT lang, (prefix // 2000)::INTEGER AS shard_id,
+           count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS sum_tokens
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation flow as ONE declarative plan:
+    benchmark decontamination (drop corpus docs sharing 3-shingles with the
+    held-out eval split) → quality-score filter (keep ≥ 0.5) → deterministic
+    stratified downsampling (en 50%, others 80%) → token-budget shard
+    packing → per-(lang, shard) stats. Composes q_decontaminate,
+    q_quality_score, q_stratified_sample and q_shard_pack end-to-end; the
+    scale shape is the union of theirs — broadcast bench shingles, one
+    corpus groupBy for containment, map-side scoring/sampling (no extra
+    pass), one (lang)-partitioned window for packing."""
+    from stackai_vector_db_spark.functions.text import quality_score, token_count_ws
+    from stackai_vector_db_spark.operators.curation import (
+        decontaminate,
+        shard_pack,
+        stratified_sample_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    clean_ids = (
+        decontaminate(corpus, bench, k=3)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = corpus.join(clean_ids, "doc_id")
+    scored = kept.filter(
+        F.round(quality_score(F.col("text")), 6) >= QUALITY_KEEP
+    )
+    sampled = scored.filter(
+        stratified_sample_col(F.col("doc_id"), F.col("lang"), {"en": 50}, 80)
+    )
+    t = sampled.select(
+        "doc_id", "lang", token_count_ws(F.col("text")).cast("long").alias("toks")
+    )
+    packed = shard_pack(t, SHARD_BUDGET, "toks", part_col="lang")
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("sum_tokens")
+    )
+
+
+@register(
     "q_stratified_sample",
     oracle="""
     WITH h AS (
@@ -2981,7 +3082,7 @@ SWEEP_ORDER = [
     "q_assign_centroid", "q_ivf_probe_topk",
     "q_corpus_pipeline", "q_knn_graph", "q_dedup_components",
     "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
-    "q_ivf_pq_residual_topk",  # new in r4 — needs its first row
+    "q_ivf_pq_residual_topk", "q_curation_e2e",  # new in r4 — need first rows
     # --- 27-50: §2-core regression set (r3-green) ---
     "q_knn_brute_topk", "q_knn_window_rank",
     "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",
@@ -2990,9 +3091,8 @@ SWEEP_ORDER = [
     "q_cluster_stats", "q_dirty_ratio", "q_index_stats", "q_dim_check",
     "q_pagination", "q_sample_hash", "q_except_deleted",
     "q_fn_euclidean", "q_fn_cosine", "q_ingest_validate",
-    "q_tpch_q3",
     # --- past 50: r3-green, next row in a later round's rotation ---
-    "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
+    "q_tpch_q3", "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
     "q_union_libraries", "q_text_stats", "q_dedup_exact", "q_lang_id",
     "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
     "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",
