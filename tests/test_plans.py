@@ -103,3 +103,16 @@ def test_knn_graph_cogroup_no_broadcast_query_side(spark):
         # (an aggregate), not a raw parquet scan of embeddings
         bcast_idx = plan.index("BroadcastNestedLoopJoin")
         assert "centroid" in plan[bcast_idx:], "probe BNLJ lost its centroid side"
+
+
+def test_curation_e2e_no_python_all_broadcast(spark):
+    """The curation flagship composes four operators in one plan and must
+    stay JVM-only: every join broadcast (bench shingles, containment,
+    hydration), zero Python stages, bounded shuffle count (fixture
+    repartitions + containment groupBy + per-lang pack window + final
+    agg), pruned read schemas."""
+    a = _audit(spark, "q_curation_e2e")
+    assert set(a["joins"]) == {"BroadcastHashJoin"}
+    assert a["python_stages"] == 0
+    assert a["shuffles"] <= 6
+    assert all("text" in s or "doc_id" in s for s in a["schemas"])
