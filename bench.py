@@ -89,6 +89,7 @@ def main() -> None:
         Q._ivf_pq_coded(spark, sf_dir)  # also fills _ivf_centroids("all")
         Q._shingle_base(spark, sf_dir)  # stored shingle layout for dedup
         Q._lsh_banded(spark, sf_dir)  # stored LSH band-bucket index
+        Q._e2e_embdocs(spark, sf_dir)  # stored embeddings for the e2e flagship
     except Exception as exc:  # keep the timed loop alive, but never silently
         print(f"bench: artifact pre-build FAILED: {exc!r}", file=sys.stderr)
     artifact_build_sec = round(time.perf_counter() - t_build, 3)
