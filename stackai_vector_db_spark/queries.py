@@ -1757,6 +1757,95 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Repetition-filter thresholds (micro-units of the fraction): a doc is kept
+# when at most 60% of its words are repeats of earlier words AND its most
+# frequent bigram occupies at most 15% of word slots. Chosen against the
+# fixture distribution (dup fraction mean 0.50 / max 0.72; top-bigram
+# occupancy p90 0.13 / max 0.31) so both signals actually reject documents.
+REP_DUP_MAX_MICRO = 600_000
+REP_BIGRAM_MAX_MICRO = 150_000
+
+
+@register(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+    b AS (
+      SELECT doc_id, len(ws)::BIGINT AS n, len(list_distinct(ws))::BIGINT AS nd,
+             CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+               ELSE []::VARCHAR[] END AS bgs
+      FROM w),
+    e AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+    m AS (SELECT doc_id, max(c) AS maxc FROM
+            (SELECT doc_id, bg, count(*) AS c FROM e GROUP BY doc_id, bg)
+          GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.n AS n_words,
+           (b.n - b.nd) * 1000000 // b.n AS dup_word_micro,
+           coalesce(m.maxc, 0) * 2000000 // b.n AS top_bigram_micro,
+           ((b.n - b.nd) * 1000000 // b.n <= {REP_DUP_MAX_MICRO}
+            AND coalesce(m.maxc, 0) * 2000000 // b.n <= {REP_BIGRAM_MAX_MICRO}) AS keep
+    FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (beyond-reference
+    curation op): duplicate-word fraction (1 − distinct/total) and
+    top-bigram occupancy (2·max_bigram_count/total words), each as exact
+    integer micro-units — all-integer arithmetic, so the DuckDB oracle
+    matches bit-for-bit with no float-boundary risk — plus the keep/drop
+    decision a repetition filter would make.
+
+    Scale shape: one scan; the only shuffle is the (doc_id, bigram) partial
+    +final count agg — keys are per-doc so there is no skew concentration,
+    and map-side combine collapses each doc's bigrams before the exchange.
+    The word stats ride in the grouping keys (per-doc constants), avoiding
+    a second join against the corpus; the left join reinstating
+    bigram-less docs is agg-output × agg-output, O(docs) rows of scalars,
+    never bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    ws = F.split(F.trim(F.col("text")), " +")
+    base = d.repartition(par).select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n"),
+        F.size(F.array_distinct(ws)).cast("long").alias("nd"),
+        F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bgs"),
+    )
+    maxc = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("maxc"))
+    )
+    dup_micro = F.expr("(n - nd) * 1000000L div n")
+    tb_micro = F.expr("coalesce(maxc, 0L) * 2000000L div n")
+    return (
+        base.join(maxc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_words"),
+            dup_micro.alias("dup_word_micro"),
+            tb_micro.alias("top_bigram_micro"),
+            (
+                (dup_micro <= REP_DUP_MAX_MICRO)
+                & (tb_micro <= REP_BIGRAM_MAX_MICRO)
+            ).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # M5 extensions — events: JSON, window frames, time windows (§2.9 batch forms)
 # ---------------------------------------------------------------------------
@@ -3098,6 +3187,7 @@ SWEEP_ORDER = [
     "q_corpus_pipeline", "q_knn_graph", "q_dedup_components",
     "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
     "q_ivf_pq_residual_topk", "q_curation_e2e",  # new in r4 — need first rows
+    "q_repetition_stats",  # new in r4 — needs first row
     # --- 27-50: §2-core regression set (r3-green) ---
     "q_knn_brute_topk", "q_knn_window_rank",
     "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",

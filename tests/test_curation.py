@@ -100,3 +100,43 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert "<EMAIL>" in rows[1]["clean_text"] and "<PHONE>" in rows[1]["clean_text"]
     assert "@" not in rows[1]["clean_text"]
     assert rows[2]["n_emails"] == 0 and rows[2]["clean_text"] == "no pii here"
+
+
+def test_repetition_stats_exact_arithmetic(spark, tmp_path):
+    """q_repetition_stats: all-integer micro-unit signals on hand-computed
+    docs — repeats, boundary at the 60% dup threshold, 1-word doc (no
+    bigrams)."""
+    from stackai_vector_db_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "en", "s", 7),        # dup 3/4, top bigram 3 of 3
+            (2, "b c b c b", "en", "s", 9),      # dup 3/5 == threshold, max bg 2
+            (3, "hello", "en", "s", 5),          # single word: no bigrams
+            (4, "w x y z q r s t u v", "en", "s", 19),  # all distinct
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_repetition_stats"].fn(spark, str(tmp_path)).collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_words"], r1["dup_word_micro"], r1["top_bigram_micro"]) == (
+        4, 750000, 1500000,  # occupancy may exceed 1.0 on degenerate docs
+    )
+    assert not r1["keep"]
+    r2 = rows[2]
+    # 3 repeats over 5 words = exactly 600000 micro (kept: <=); bigram
+    # "b c" appears twice -> 2*2e6 div 5 = 800000 (rejected)
+    assert (r2["dup_word_micro"], r2["top_bigram_micro"]) == (600000, 800000)
+    assert not r2["keep"]
+    r3 = rows[3]
+    assert (r3["n_words"], r3["dup_word_micro"], r3["top_bigram_micro"]) == (1, 0, 0)
+    assert r3["keep"]
+    r4 = rows[4]
+    # 10 distinct words: dup 0; each bigram once -> 2*1e6 div 10 = 200000
+    # which exceeds the 15% occupancy bound — short docs are inherently
+    # bigram-dense; the thresholds target fixture-length (30+ word) docs.
+    assert (r4["dup_word_micro"], r4["top_bigram_micro"]) == (0, 200000)
