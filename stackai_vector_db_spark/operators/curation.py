@@ -65,33 +65,93 @@ def decontaminate(
     )
 
 
-def stratified_sample_col(
-    id_col: Column, stratum_col: Column, rates: dict[str, int], default_pct: int
-) -> Column:
-    """Deterministic keep-predicate: keep a row iff
-    ``mix(knuth_hash(id)) mod 100 < pct(stratum)``.
-
-    Knuth-multiplicative hash of the id — reproducible across reruns,
-    partitionings and engines (pure BIGINT arithmetic, no engine hash
-    function), unlike ``rand(seed)`` whose draw order is partition-
-    dependent. Per-stratum pct encodes the curation policy (e.g. keep 5%
-    of the dominant language, 20% of the rest).
+def mix_hash_bucket(id_col: Column, mod: int) -> Column:
+    """Knuth-multiplicative id-hash bucket in [0, mod) — the deterministic
+    randomness primitive shared by the sampling operators. Reproducible
+    across reruns, partitionings and engines (pure BIGINT arithmetic, no
+    engine hash function), unlike ``rand(seed)`` whose draw order is
+    partition-dependent.
 
     Overflow contract: the id is folded to 31 bits BEFORE the multiply so
     the int64 product never exceeds (2^31)·2654435761 ≈ 5.7e18 < 2^63 —
     no silent wrap in Spark, no overflow error in an ANSI engine; the
     32-bit fold of the product then keeps the genuinely-mixing high bits
-    (a bare mod-100 of the raw product collapses the multiplier to
-    id·61 mod 100), and the shift-xor folds those high bits into the low
-    bucket bits."""
+    (a bare mod of the raw product collapses the multiplier), and the
+    shift-xor folds those high bits into the low bucket bits."""
     x = F.pmod(id_col, F.lit(2147483648))  # 31-bit fold: product stays in int64
     h = F.pmod(x * F.lit(2654435761), F.lit(4294967296))
     h = h.bitwiseXOR(F.shiftright(h, 16))
-    bucket = F.pmod(h, F.lit(100))
+    return F.pmod(h, F.lit(mod))
+
+
+def stratified_sample_col(
+    id_col: Column, stratum_col: Column, rates: dict[str, int], default_pct: int
+) -> Column:
+    """Deterministic keep-predicate: keep a row iff
+    ``mix_hash_bucket(id, 100) < pct(stratum)``.
+
+    Per-stratum pct encodes the curation policy (e.g. keep 5% of the
+    dominant language, 20% of the rest); see ``mix_hash_bucket`` for the
+    determinism/overflow contract."""
+    bucket = mix_hash_bucket(id_col, 100)
     pct = F.lit(default_pct)
     for value, p in rates.items():
         pct = F.when(stratum_col == value, F.lit(p)).otherwise(pct)
     return bucket < pct
+
+
+def domain_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture rebalancing: compute per-stratum deterministic keep-rates
+    that move the corpus to a TARGET mixture (integer weight parts summing
+    to 100) without upsampling, and report what they achieve.
+
+    The binding stratum is the one that runs out first: with counts n_s
+    and weights w_s, the largest target-consistent output is
+    ``N = min_s(n_s·100 div w_s)``; each stratum's quota is
+    ``N·w_s div 100`` and its keep-rate ``quota·1e6 div n_s`` parts per
+    million, applied as a ``mix_hash_bucket(id, 1e6) < rate`` predicate.
+    All-integer arithmetic end to end, so any engine reproduces the exact
+    same kept set. Strata absent from ``weights`` get weight 0 — dropped,
+    the curation-policy reading of "not in the mix".
+
+    Scale shape: pass 1 is a column-pruned scan → partial/final count by
+    stratum (the counts table is #domains rows — tiny); rates derive from
+    it with a broadcast of the 1-row min; pass 2 re-scans the corpus with
+    the rates broadcast-joined on the stratum and counts survivors with
+    map-side partial agg. Two scans, zero wide shuffles of bodies, no
+    driver collect; the kept-set predicate is partition-independent so
+    the actual filtered WRITE can run fully parallel."""
+    total_w = sum(weights.values())
+    assert total_w == 100, f"weights must sum to 100 parts, got {total_w}"
+    wcol = F.lit(None).cast("long")
+    for value, w in weights.items():
+        wcol = F.when(F.col(stratum_col) == value, F.lit(w)).otherwise(wcol)
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_in"))
+    cw = counts.withColumn("w", wcol).filter(F.col("w").isNotNull())
+    caps = cw.withColumn("cap", F.expr("n_in * 100 div w"))
+    nmin = caps.agg(F.min("cap").alias("nn"))
+    rates = caps.crossJoin(F.broadcast(nmin)).withColumn(
+        "rate_ppm", F.expr("(nn * w div 100) * 1000000 div n_in")
+    )
+    kept = (
+        docs.select(stratum_col, id_col)
+        .join(F.broadcast(rates.select(stratum_col, "rate_ppm")), stratum_col)
+        .filter(mix_hash_bucket(F.col(id_col), 1_000_000) < F.col("rate_ppm"))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.select(
+            stratum_col, "n_in", F.col("w").alias("weight"), "rate_ppm"
+        )
+        .join(kept, stratum_col, "left")
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+    )
 
 
 def shard_pack(

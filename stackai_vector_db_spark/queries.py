@@ -3004,6 +3004,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target mixture for q_domain_mix: integer parts per 100. 'en' is ~45% of
+# the fixture and gets downsampled toward 40; the others are upsample-free
+# caps (the binding stratum sets the output size).
+MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+_DK_MIX_W = (
+    "(VALUES ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15)) "
+    "w(lang, wt)"
+)
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, count(*)::BIGINT AS n_in FROM documents GROUP BY lang),
+    cw AS (
+      SELECT c.lang, c.n_in, w.wt::BIGINT AS weight
+      FROM c JOIN {_DK_MIX_W} ON c.lang = w.lang),
+    m AS (SELECT min(n_in * 100 // weight) AS nn FROM cw),
+    r AS (
+      SELECT lang, n_in, weight,
+             ((SELECT nn FROM m) * weight // 100) * 1000000 // n_in AS rate_ppm
+      FROM cw),
+    k AS (
+      SELECT d.lang, count(*)::BIGINT AS n_kept
+      FROM (SELECT lang, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+            FROM documents) d
+      JOIN r ON d.lang = r.lang
+      WHERE xor(d.hv, d.hv >> 16) % 1000000 < r.rate_ppm
+      GROUP BY d.lang)
+    SELECT r.lang, r.n_in, r.weight, r.rate_ppm,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept
+    FROM r LEFT JOIN k ON r.lang = k.lang
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing (beyond-reference curation op): derive
+    per-language deterministic keep-rates that move the corpus to a target
+    mixture without upsampling (the binding stratum sets the output size),
+    then report n_in / rate / n_kept per language. All-integer rate math +
+    the shared Knuth id-hash predicate — the oracle reproduces the exact
+    kept set. See operators/curation.py:domain_mix for the scale shape
+    (two column-pruned scans, counts-table broadcast, no driver collect)."""
+    from stackai_vector_db_spark.operators.curation import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix(docs, MIX_WEIGHTS, stratum_col="lang")
+
+
 SHARD_BUDGET = 2000  # tokens per training shard
 
 
@@ -3204,7 +3254,7 @@ SWEEP_ORDER = [
     "q_corpus_pipeline", "q_knn_graph", "q_dedup_components",
     "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
     "q_ivf_pq_residual_topk", "q_curation_e2e",  # new in r4 — need first rows
-    "q_repetition_stats",  # new in r4 — needs first row
+    "q_repetition_stats", "q_domain_mix",  # new in r4 — need first rows
     # --- 27-50: §2-core regression set (r3-green) ---
     "q_knn_brute_topk", "q_knn_window_rank",
     "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",

@@ -140,3 +140,50 @@ def test_repetition_stats_exact_arithmetic(spark, tmp_path):
     # which exceeds the 15% occupancy bound — short docs are inherently
     # bigram-dense; the thresholds target fixture-length (30+ word) docs.
     assert (r4["dup_word_micro"], r4["top_bigram_micro"]) == (0, 200000)
+
+
+def test_domain_mix_binding_stratum_and_quotas(spark):
+    """domain_mix: the stratum that runs out first caps the output; quotas
+    follow target weights; strata outside the policy are dropped."""
+    from stackai_vector_db_spark.operators.curation import domain_mix
+
+    # 80 'a' docs, 20 'b' docs, 5 'junk' docs. Target a:50, b:50.
+    # b binds: N = min(80*100//50, 20*100//50) = min(160, 40) = 40.
+    # quota_a = 40*50//100 = 20 -> rate 250000 ppm; quota_b = 20 -> 1e6 ppm.
+    rows = (
+        [(i, "a") for i in range(80)]
+        + [(100 + i, "b") for i in range(20)]
+        + [(200 + i, "junk") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["lang"]: r for r in domain_mix(docs, {"a": 50, "b": 50}).collect()}
+    assert set(out) == {"a", "b"}  # junk is not in the mix
+    assert (out["a"]["n_in"], out["a"]["rate_ppm"]) == (80, 250000)
+    assert (out["b"]["n_in"], out["b"]["rate_ppm"]) == (20, 1000000)
+    # rate 1e6 keeps everything deterministically
+    assert out["b"]["n_kept"] == 20
+    # kept counts are exact hash-bucket counts -> recompute independently
+    from stackai_vector_db_spark.operators.curation import mix_hash_bucket
+    from pyspark.sql import functions as F
+
+    expect_a = (
+        docs.filter(F.col("lang") == "a")
+        .filter(mix_hash_bucket(F.col("doc_id"), 1_000_000) < 250000)
+        .count()
+    )
+    assert out["a"]["n_kept"] == expect_a
+
+
+def test_domain_mix_partition_invariant(spark):
+    """The kept set must not depend on input partitioning."""
+    from stackai_vector_db_spark.operators.curation import domain_mix
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = {"a": 60, "b": 40}
+    one = {(r["lang"], r["n_kept"]) for r in domain_mix(docs, w).collect()}
+    other = {
+        (r["lang"], r["n_kept"])
+        for r in domain_mix(docs.repartition(13), w).collect()
+    }
+    assert one == other
