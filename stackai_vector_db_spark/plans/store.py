@@ -420,6 +420,22 @@ class VectorStore:
         self._bump_dirty(old)
         return v
 
+    def delete_chunk(self, chunk_id: int) -> int:
+        """Single-chunk delete — the reference's DELETE /chunks/{id}
+        (``api/v1/routers/chunks.py:62-77`` → ``chunk_service.py:166-175``:
+        existence check first, then delete, then mark the library index
+        dirty). Merge-on-read: one tombstone row written, no segment
+        rewrite; readers pinned to the old version are untouched."""
+        cur = self.read_chunks()
+        old = cur.filter(F.col("chunk_id") == chunk_id) if cur is not None else None
+        if old is None or old.isEmpty():
+            raise ValueError(f"chunk {chunk_id} not found")
+        v = self.versions()["chunks"] + 1
+        self._tombstone(old.select("chunk_id"), v)
+        self._swap_pointer(chunks=v)
+        self._bump_dirty(old)
+        return v
+
     # ---- cascade delete (J4, trace library_service.py:67-77) -------------
 
     def delete_documents(self, doc_ids: DataFrame) -> int:

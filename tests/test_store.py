@@ -745,3 +745,25 @@ def test_library_document_metadata(spark, store):
     # closed schema: unknown keys rejected (frozen dataclass parity)
     with pytest.raises(ValueError, match="unknown metadata"):
         store.create_library(8, "lib-bad", metadata={"nope": 1})
+
+
+def test_delete_chunk_single(spark, store):
+    """DELETE /chunks/{id} twin: tombstone one row, 404 on missing, dirty
+    bump, old version still readable (merge-on-read)."""
+    store.ingest_chunks(_chunk_rows(spark, 6))
+    v1 = store.versions()["chunks"]
+    n0 = store.count_chunks()
+
+    store.delete_chunk(100002)
+    assert store.count_chunks() == n0 - 1
+    assert store.read_chunks().filter(F.col("chunk_id") == 100002).isEmpty()
+    # pinned reader still sees the pre-delete version
+    assert (
+        store.read_chunks(v1).filter(F.col("chunk_id") == 100002).count() == 1
+    )
+    assert store.dirty_count(1) > 0
+
+    with pytest.raises(ValueError, match="not found"):
+        store.delete_chunk(100002)  # already gone
+    with pytest.raises(ValueError, match="not found"):
+        store.delete_chunk(424242)
