@@ -145,11 +145,13 @@ def domain_mix(
         .groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+    # Both sides of the summary join are #domains-row aggregates —
+    # broadcast so the plan never sort-merges two tiny tables.
     return (
         rates.select(
             stratum_col, "n_in", F.col("w").alias("weight"), "rate_ppm"
         )
-        .join(kept, stratum_col, "left")
+        .join(F.broadcast(kept), stratum_col, "left")
         .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
     )
 

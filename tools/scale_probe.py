@@ -156,6 +156,39 @@ def main() -> None:
     results["ivf_pq_recall_np2"] = recall(ivfpq_out)
     results["ivf_pq_search_np2_s"] = round(time.perf_counter() - t0, 3)
 
+    # LSH ANN probe: the stored-layout path of q_ann_lsh_topk — bucket +
+    # self-norm computed ONCE at build (write-time layout), then multi-probe
+    # search ranks only the hamming-1 candidate buckets. With p planes the
+    # candidate fraction is ~(p+1)/2^p of the corpus; recall is measured
+    # against the exact cosine top-k (the metric the hyperplane family
+    # preserves), not the euclidean `exact` set above.
+    from stackai_vector_db_spark.operators.ann_lsh import ann_lsh_topk, bucket_col
+    from stackai_vector_db_spark.functions.vector import vector_norm
+
+    lsh_planes = 8
+    t0 = time.perf_counter()
+    lsh_side = (
+        vecs.withColumn("bucket", bucket_col(F.col("embedding"), lsh_planes, dim))
+        .withColumn("__vnorm", vector_norm(F.col("embedding")))
+        .persist()
+    )
+    lsh_side.count()
+    results["lsh_build_s"] = round(time.perf_counter() - t0, 3)
+    lsh_q = lsh_side.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), "bucket"
+    )
+    t0 = time.perf_counter()
+    lsh_out = ann_lsh_topk(lsh_q, lsh_side, k, dim=dim, n_planes=lsh_planes)
+    lsh_got = {(r["qid"], r["vec_id"]) for r in lsh_out.collect()}
+    results["lsh_search_s"] = round(time.perf_counter() - t0, 3)
+    exact_cos = {
+        (r["qid"], r["vec_id"])
+        for r in brute_force_topk(q, vecs, k, metric="cosine").collect()
+    }
+    results["lsh_recall_cos"] = round(
+        len(lsh_got & exact_cos) / len(exact_cos), 4
+    )
+
     # Dedup probe: MinHash-LSH over synthetic docs from the custom source
     # (n/4 docs ≈ 10-50× the fixture corpus; near-dups exist by construction
     # since the generator's word patterns repeat with period len(_WORDS)).
