@@ -100,6 +100,55 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def rerank_exact(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: Metric = "euclidean",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact re-rank of an ANN shortlist — the refine stage of multi-stage
+    retrieval (FAISS's IVFADC+refine pattern): a cheap first stage (ADC /
+    LSH / IVF) produces ``(qid, vec_id)`` candidates, then only those rows
+    are hydrated with their raw vectors and ranked by the EXACT metric.
+
+    Scale shape: the candidate set is Q·shortlist rows — a vanishing
+    fraction of the corpus — so the hydration join keyed on the vector id
+    shuffles candidates, not vectors (at scale the vectors side is
+    bucketed/partitioned by id and the join prunes); the query vectors
+    broadcast. Quantization error then affects only which candidates make
+    the shortlist, never their final order — recall@k rises with shortlist
+    size at O(shortlist) exact-distance cost per query, vs O(N) for
+    brute force.
+
+    Returns ``qid, vec_id, dist (double, rounded), rank`` like
+    ``brute_force_topk``, so recall is directly comparable."""
+    cand = candidates.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("vec_id")
+    )
+    hyd = cand.join(
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+        ),
+        "vec_id",
+    )
+    qs = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("__q")
+    )
+    scored = hyd.join(F.broadcast(qs), "qid").select(
+        "qid",
+        "vec_id",
+        F.round(distance_col(metric, F.col("__q"), F.col("__v")), ROUND).alias(
+            "dist"
+        ),
+    )
+    return _rank_topk(scored, k)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (

@@ -1089,6 +1089,30 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.adc_topk(q, codes, codebooks, k=10)
 
 
+@register("q_pq_refine_topk", oracle=None)  # ⚠ rows-only: codebooks are not SQL
+def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: PQ shortlist + exact re-rank (FAISS IVFADC+refine
+    pattern). ADC produces a 50-deep candidate shortlist from the
+    codes-only scan; only those rows hydrate their raw vectors for exact
+    euclidean ranking — quantization error affects shortlist membership,
+    never final order. Deterministic end-to-end (seeded train, id
+    tie-breaks); recall floors in tests/test_pq.py."""
+    from stackai_vector_db_spark.operators import pq as pq_ops
+    from stackai_vector_db_spark.operators.knn import rerank_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks, codes = _pq_artifacts(spark, sf_dir)
+    qrows = emb.orderBy("vec_id").limit(4).collect()
+    q = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    )
+    shortlist = pq_ops.adc_topk(q, codes, codebooks, k=PQ_REFINE_SHORTLIST)
+    return rerank_exact(shortlist, emb, q, k=10)
+
+
+PQ_REFINE_SHORTLIST = 50
+
+
 @register("q_ivf_pq_topk", oracle=None)  # ⚠ rows-only: trained codebooks are not SQL
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: IVF-PQ — probe-pruned candidates (deterministic label-mean
@@ -3254,7 +3278,7 @@ SWEEP_ORDER = [
     "q_corpus_pipeline", "q_knn_graph", "q_dedup_components",
     "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
     "q_ivf_pq_residual_topk", "q_curation_e2e",  # new in r4 — need first rows
-    "q_repetition_stats", "q_domain_mix",  # new in r4 — need first rows
+    "q_repetition_stats", "q_domain_mix", "q_pq_refine_topk",  # new in r4
     # --- 27-50: §2-core regression set (r3-green) ---
     "q_knn_brute_topk", "q_knn_window_rank",
     "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",

@@ -239,3 +239,34 @@ def test_ivf_pq_residual_parity_envelope_and_determinism(spark, emb, codebooks):
     a = {(r["qid"], r["vec_id"], r["dist"]) for r in res.collect()}
     b = {(r["qid"], r["vec_id"], r["dist"]) for r in res2.collect()}
     assert a == b
+
+
+def test_rerank_exact_refine(spark, emb, codebooks):
+    """Refine stage: exact re-rank of an ADC shortlist. With a shortlist
+    covering the whole table the result must EQUAL brute force; with a
+    bounded shortlist, refined recall@10 must be at least ADC's."""
+    from stackai_vector_db_spark.operators.knn import rerank_exact
+
+    qrows = emb.orderBy("vec_id").limit(4).collect()
+    q = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    )
+    codes = encode_pq(emb, codebooks)
+    n = emb.count()
+    exact = brute_force_topk(q, emb, k=10)
+
+    # shortlist == corpus -> refine IS brute force (same dist, same order)
+    full_short = adc_topk(q, codes, codebooks, k=n)
+    refined_full = rerank_exact(full_short, emb, q, k=10)
+    def key(df):
+        return sorted(
+            (r["qid"], r["vec_id"], r["dist"], r["rank"]) for r in df.collect()
+        )
+    assert key(refined_full) == key(exact)
+
+    # bounded shortlist: refined recall >= raw ADC recall
+    short = adc_topk(q, codes, codebooks, k=50)
+    refined = rerank_exact(short, emb, q, k=10)
+    assert recall_at_k(refined, exact, 10) >= recall_at_k(
+        adc_topk(q, codes, codebooks, k=10), exact, 10
+    )

@@ -16,6 +16,7 @@ ROWS_ONLY_ALLOWED = {
     "q_pq_adc_topk",            # codebooks from seeded numpy Lloyd
     "q_ivf_pq_topk",            # same codebooks
     "q_ivf_pq_residual_topk",   # residual codebooks, same reason
+    "q_pq_refine_topk",         # ADC shortlist (same codebooks) + exact refine
 }
 
 

@@ -6,7 +6,7 @@ The pseudo-random vectors are generated JVM-side (hash-mixed sequence →
 uniform floats), so generation is parallel and deterministic — no driver
 materialization.
 
-Usage: python tools/scale_probe.py [n_vectors] [dim]
+Usage: python tools/scale_probe.py [n_vectors] [dim] [uniform|clustered]
 """
 
 from __future__ import annotations
@@ -29,21 +29,33 @@ from stackai_vector_db_spark.operators.ivf import (  # noqa: E402
 )
 
 
-def synth_vectors(spark, n: int, dim: int, partitions: int):
-    """Deterministic pseudo-random vectors: component = mixed-hash of
-    (id, i) scaled to [-0.5, 0.5); label = id mod 16 (for centroid
-    grouping)."""
+def synth_vectors(spark, n: int, dim: int, partitions: int, mode: str = "uniform"):
+    """Deterministic pseudo-random vectors; label = id mod 16 (for
+    centroid grouping).
+
+    - ``uniform``: component = mixed-hash of (id, i) in [-0.5, 0.5) —
+      the WORST case for quantization/clustering (distances concentrate,
+      no cluster structure), so recall numbers are adversarial floors.
+    - ``clustered``: component = hash-derived center(label, i) + 1/10th
+      amplitude noise — the mixture-of-clusters geometry real embedding
+      models produce, where IVF/PQ recall is representative."""
+    def comp(i):
+        uid = (
+            (F.col("id") * 2654435761 + (i + 1) * 40503) % 100003
+        ).cast("double") / 100003.0 - 0.5
+        if mode != "clustered":
+            return uid
+        center = (
+            ((F.col("id") % 16) * 31 * 2654435761 + (i + 1) * 7919) % 1009
+        ).cast("double") / 1009.0 - 0.5
+        return center + uid / 10.0
+
     return (
         spark.range(0, n, 1, partitions)
         .select(
             F.col("id").alias("vec_id"),
             F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (
-                    ((F.col("id") * 2654435761 + (i + 1) * 40503) % 100003)
-                ).cast("double")
-                / 100003.0
-                - 0.5,
+                F.sequence(F.lit(0), F.lit(dim - 1)), comp
             ).alias("embedding"),
             (F.col("id") % 16).cast("int").alias("label"),
         )
@@ -53,13 +65,14 @@ def synth_vectors(spark, n: int, dim: int, partitions: int):
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    mode = sys.argv[3] if len(sys.argv) > 3 else "uniform"
     k, nq = 10, 8
 
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     par = spark.sparkContext.defaultParallelism
 
-    vecs = synth_vectors(spark, n, dim, par).persist()
+    vecs = synth_vectors(spark, n, dim, par, mode=mode).persist()
     vecs.count()  # materialize
     # Warm Python workers so strategy timings are comparable.
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
@@ -149,6 +162,16 @@ def main() -> None:
     adc_out = adc_topk(q, codes, cb, k)
     results["pq_adc_recall"] = recall(adc_out)
     results["pq_adc_s"] = round(time.perf_counter() - t0, 3)
+    # Refine stage (FAISS IVFADC+refine): exact re-rank of a 100-deep ADC
+    # shortlist — quantization error then only affects shortlist membership.
+    from stackai_vector_db_spark.operators.knn import rerank_exact
+
+    t0 = time.perf_counter()
+    shortlist = adc_topk(q, codes, cb, k=100)
+    refined = rerank_exact(shortlist, vecs, q, k)
+    results["pq_refine_recall"] = recall(refined)
+    results["pq_refine_s"] = round(time.perf_counter() - t0, 3)
+
     coded = codes.join(assigned.select("vec_id", "cluster_id"), "vec_id").persist()
     coded.count()
     t0 = time.perf_counter()
@@ -233,7 +256,7 @@ def main() -> None:
 
     print(
         json.dumps(
-            {"metric": "scale_probe", "n": n, "dim": dim, "queries": nq, **results}
+            {"metric": "scale_probe", "n": n, "dim": dim, "mode": mode, "queries": nq, **results}
         )
     )
     spark.stop()
