@@ -131,3 +131,66 @@ def test_zorder_interval_superset_pure(case):
     z_p, z_p2 = zorder_interval(specs, [(p, p) for p in point])
     assert z_p == z_p2
     assert z_lo <= z_p <= z_hi
+
+
+# --- curation-op invariants (hypothesis over synthetic corpora) -----------
+
+ids = st.lists(
+    st.integers(min_value=0, max_value=2**40), min_size=4, max_size=40, unique=True
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ids, st.integers(min_value=1, max_value=99))
+def test_domain_mix_invariants(spark, doc_ids, wa):
+    """For any corpus and any two-stratum weighting: rates stay in
+    [0, 1e6], quotas never exceed the binding-stratum bound, and
+    n_kept <= n_in per stratum."""
+    from stackai_vector_db_spark.operators.curation import domain_mix
+
+    rows = [(i, "a" if i % 2 else "b") for i in doc_ids]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = {"a": wa, "b": 100 - wa}
+    out = domain_mix(docs, w).collect()
+    n = {r["lang"]: r["n_in"] for r in out}
+    if not out:
+        return
+    nn = min(v * 100 // w[k] for k, v in n.items())
+    for r in out:
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert r["n_kept"] <= r["n_in"]
+        # quota implied by the rate never exceeds the target share of N
+        assert (nn * w[r["lang"]] // 100) * 1_000_000 // r["n_in"] == r["rate_ppm"]
+
+
+word = st.text(alphabet="abcd", min_size=1, max_size=3)
+texts = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_repetition_stats_matches_pure_python(spark, tmp_path_factory, docs):
+    """q_repetition_stats micro-units equal an independent pure-Python
+    computation for arbitrary word streams."""
+    from collections import Counter
+
+    from stackai_vector_db_spark.queries import REGISTRY
+
+    tmp = tmp_path_factory.mktemp("rep")
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_repetition_stats"].fn(spark, str(tmp)).collect()
+    }
+    for i, t in enumerate(rows):
+        ws = t[1].strip().split()
+        n, nd = len(ws), len(set(ws))
+        bigrams = Counter(zip(ws, ws[1:]))
+        maxc = max(bigrams.values()) if bigrams else 0
+        r = got[i]
+        assert r["n_words"] == n
+        assert r["dup_word_micro"] == (n - nd) * 1_000_000 // n
+        assert r["top_bigram_micro"] == maxc * 2_000_000 // n
