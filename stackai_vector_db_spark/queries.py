@@ -1678,15 +1678,29 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id(F.col("text")).alias("lang_pred"),
         F.round(quality_score(F.col("text")), 6).alias("score"),
         token_count_ws(F.col("text")).cast("long").alias("words"),
-    ).filter(F.col("score") >= QUALITY_KEEP)
+    )
     # Min-id keeper via row_number window. Measured against the
     # "obvious" improvement — a min_by(struct, doc_id) hash aggregate
     # with map-side partial merge — and the window wins (1.6-1.9s vs
     # 1.9-2.5s at sf0.1): duplicates are rare, so partial aggregation
     # combines almost nothing, and the struct-buffer ObjectHashAggregate
     # costs more than the radix sort it replaces.
+    #
+    # The quality filter runs AFTER the dedup window, not before it:
+    # value-identical because every column here is a pure function of
+    # text and groups are keyed by sha2(text) — all members of a group
+    # share one score, so the group's min-id keeper passes iff the
+    # oracle's filter-first keeper does. Filtering before the projection
+    # makes Catalyst push the predicate below it and evaluate the quality
+    # expression twice per row (A/B at sf0.1: 1.38-1.55s vs 1.30-1.38s
+    # steady state, and 5.2s vs 1.4s first call — double codegen of the
+    # widest expression in the plan). Cost of the reorder: the score<τ
+    # minority's 50-byte scalar rows ride the shuffle, which the
+    # body-drop already made cheap.
     w = Window.partitionBy("__key").orderBy("doc_id")
-    dedup = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    dedup = scored.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("score") >= QUALITY_KEEP)
+    )
     return dedup.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("words").alias("total_tokens"),
