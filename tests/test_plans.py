@@ -116,3 +116,34 @@ def test_curation_e2e_no_python_all_broadcast(spark):
     assert a["python_stages"] == 0
     assert a["shuffles"] <= 6
     assert all("text" in s or "doc_id" in s for s in a["schemas"])
+
+
+def test_repetition_stats_shape(spark):
+    """One scan family, no cartesian/SMJ surprises, zero Python stages;
+    the bigram count agg is the only per-doc-key work."""
+    a = _audit(spark, "q_repetition_stats")
+    assert a["python_stages"] == 0
+    assert "CartesianProduct" not in a["joins"]
+    assert "BroadcastNestedLoopJoin" not in a["joins"]
+    # reads only doc_id,text — n_chars/lang/source pruned at the scan
+    import re
+
+    read_cols = [set(re.findall(r"(\w+):", x)) for x in a["schemas"]]
+    assert all(cols <= {"doc_id", "text"} for cols in read_cols)
+
+
+def test_domain_mix_shape(spark):
+    """Rates join onto the corpus is broadcast; both summary sides are
+    broadcast; no sort-merge join anywhere (all joined tables are either
+    the corpus x tiny-rates broadcast or #domains-row aggregates)."""
+    a = _audit(spark, "q_domain_mix")
+    assert "SortMergeJoin" not in a["joins"]
+    assert a["python_stages"] == 0
+
+
+def test_pq_refine_hydration_is_broadcast_queries(spark):
+    """The refine stage joins candidates to vectors by id and broadcasts
+    the query side; one Python stage (the ADC shortlist kernel)."""
+    a = _audit(spark, "q_pq_refine_topk")
+    assert a["python_stages"] == 1
+    assert "CartesianProduct" not in a["joins"]
