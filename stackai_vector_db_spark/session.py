@@ -36,7 +36,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts every executor thread in the driver JVM, so this is
+        # the whole engine's heap. 8g for 32 threads (0.25 GiB/thread)
+        # leaves the storage fraction too small for the 1M-vector scale
+        # probes — persisted vector tables evict and recompute under load.
+        # 32g on the 125 GiB test box matches the per-executor sizing a
+        # cluster deployment would give 32 cores; the fixture-SF bench and
+        # tests are unaffected either way (working set « either bound).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
