@@ -272,3 +272,60 @@ def test_dedup_ingest_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     # the accumulated index covers every doc exactly once
     assert spark.read.parquet(str(tmp_path / "index/base")).count() <= n
+
+
+def test_curation_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming curation-at-ingest (quality -> PII scrub -> dedup vs the
+    accumulating index) equals the one-shot batch twin: same curated doc
+    set, same reject reasons, across two arrival-ordered micro-batches."""
+    from stackai_vector_db_spark.functions.text import quality_score
+    from stackai_vector_db_spark.operators.curation import pii_scrub
+    from stackai_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from stackai_vector_db_spark.streaming.curation import curation_ingest_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # planted near-dups with ids ABOVE every original (arrival-ordered)
+    copies = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = d.unionByName(copies).persist()
+
+    docs_dir = str(tmp_path / "in")
+    for s in (
+        corpus.filter(F.col("doc_id") < 1000000),   # originals first
+        corpus.filter(F.col("doc_id") >= 1000000),  # copies second
+    ):
+        s.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    curation_ingest_stream(
+        spark,
+        docs_dir,
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+    )
+    got_docs = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out/docs")).collect()
+    }
+    got_rejects = {
+        (r.doc_id, r.reason)
+        for r in spark.read.parquet(str(tmp_path / "out/rejects")).collect()
+    }
+
+    # batch twin: quality filter -> scrub -> one-shot pairs -> drop id_b
+    scored = corpus.withColumn("score", F.round(quality_score(F.col("text")), 6))
+    low = {r.doc_id for r in scored.filter(F.col("score") < 0.5).collect()}
+    kept = pii_scrub(scored.filter(F.col("score") >= 0.5))
+    dedup_in = kept.select("doc_id", F.col("clean_text").alias("text"))
+    victims = {
+        r.id_b for r in minhash_lsh_pairs(dedup_in).select("id_b").collect()
+    }
+    want_docs = {
+        r.doc_id for r in dedup_in.collect() if r.doc_id not in victims
+    }
+    assert got_docs == want_docs and len(victims) > 0
+    assert got_rejects == (
+        {(i, "low_quality") for i in low}
+        | {(i, "near_duplicate") for i in victims}
+    )
