@@ -3269,17 +3269,21 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries that were already green in r1/r2 while 25 registered queries
 # (12 never swept, 13 r2-green rotated out) got no row. Round-4 rule:
 # spend the slots on exactly the queries that lack driver proof.
-#   positions 1-26: the 25 ids with no r3 row (q_ann_lsh_topk — the only
-#     historical hash-FAIL, fixed in r3 — leads) + q_stratified_sample,
-#     whose hash formula changed this round and needs fresh proof.
+#   positions 1-31: the ids with no r3 row (q_ann_lsh_topk — the only
+#     historical hash-FAIL, fixed in r3 — leads), q_stratified_sample
+#     (hash formula changed this round, needs fresh proof), and the five
+#     queries new in r4 (residual IVF-PQ, curation flagship, repetition
+#     stats, domain mix, PQ refine).
 #     Within the block: cheap queries first as insurance against any
 #     residual time component; artifact-heavy builders last.
-#   positions 27-50: the §2-core regression set (all r3-green) so the
+#   positions 32-50: the §2-core regression set (all r3-green) so the
 #     core contract keeps a row in consecutive rounds; includes
-#     q_sample_hash, whose hash formula also changed this round.
+#     q_sample_hash, whose hash formula also changed this round. The
+#     three stablest core ids (fn_euclidean, fn_cosine, ingest_validate)
+#     slid just past the cutoff to fund the five new-query slots.
 #   past 50: r3-green queries that can wait a round for their next row.
 SWEEP_ORDER = [
-    # --- 1-26: no driver row yet (or formula changed this round) ---
+    # --- 1-31: no driver row yet (new in r4, or formula changed) ---
     "q_ann_lsh_topk",
     "q_fake_embed", "q_asof_join", "q_range_join",
     "q_events_sliding", "q_events_dedup", "q_zorder_box",
@@ -3293,7 +3297,7 @@ SWEEP_ORDER = [
     "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
     "q_ivf_pq_residual_topk", "q_curation_e2e",  # new in r4 — need first rows
     "q_repetition_stats", "q_domain_mix", "q_pq_refine_topk",  # new in r4
-    # --- 27-50: §2-core regression set (r3-green) ---
+    # --- 32-50: §2-core regression set (r3-green) ---
     "q_knn_brute_topk", "q_knn_window_rank",
     "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",
     "q_semi_exists", "q_filter_missing_emb", "q_threshold_filter",
