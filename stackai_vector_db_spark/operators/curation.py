@@ -116,8 +116,14 @@ def domain_mix(
     ``N·w_s div 100`` and its keep-rate ``quota·1e6 div n_s`` parts per
     million, applied as a ``mix_hash_bucket(id, 1e6) < rate`` predicate.
     All-integer arithmetic end to end, so any engine reproduces the exact
-    same kept set. Strata absent from ``weights`` get weight 0 — dropped,
-    the curation-policy reading of "not in the mix".
+    same kept set. Strata absent from ``weights`` (or given an explicit
+    weight of 0) are dropped — the curation-policy reading of "not in the
+    mix"; zero weights never reach the division (ANSI-safe). A TARGET
+    stratum absent from the corpus is surfaced as an output row with
+    n_in = 0 / rate 0 / kept 0 rather than silently vanishing: the
+    realized mixture then renormalizes over the present strata, and the
+    zero row is the caller's signal that the requested mix was not
+    achievable without that domain.
 
     Scale shape: pass 1 is a column-pruned scan → partial/final count by
     stratum (the counts table is #domains rows — tiny); rates derive from
@@ -128,15 +134,27 @@ def domain_mix(
     the actual filtered WRITE can run fully parallel."""
     total_w = sum(weights.values())
     assert total_w == 100, f"weights must sum to 100 parts, got {total_w}"
-    wcol = F.lit(None).cast("long")
-    for value, w in weights.items():
-        wcol = F.when(F.col(stratum_col) == value, F.lit(w)).otherwise(wcol)
+    spark = docs.sparkSession
+    wtab = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights.items() if v > 0],
+        f"{stratum_col} string, w long",
+    )
     counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_in"))
-    cw = counts.withColumn("w", wcol).filter(F.col("w").isNotNull())
-    caps = cw.withColumn("cap", F.expr("n_in * 100 div w"))
-    nmin = caps.agg(F.min("cap").alias("nn"))
+    # Left join FROM the policy table: a target stratum missing from the
+    # corpus keeps its row (n_in = 0) instead of silently vanishing.
+    cw = wtab.join(counts, stratum_col, "left").withColumn(
+        "n_in", F.coalesce("n_in", F.lit(0))
+    )
+    caps = cw.withColumn(
+        "cap", F.expr("CASE WHEN n_in > 0 THEN n_in * 100 div w END")
+    )
+    nmin = caps.agg(F.min("cap").alias("nn"))  # min over PRESENT strata
     rates = caps.crossJoin(F.broadcast(nmin)).withColumn(
-        "rate_ppm", F.expr("(nn * w div 100) * 1000000 div n_in")
+        "rate_ppm",
+        F.expr(
+            "CASE WHEN n_in > 0 THEN (nn * w div 100) * 1000000 div n_in "
+            "ELSE 0L END"
+        ),
     )
     kept = (
         docs.select(stratum_col, id_col)

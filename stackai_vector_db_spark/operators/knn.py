@@ -127,9 +127,13 @@ def rerank_exact(
 
     Returns ``qid, vec_id, dist (double, rounded), rank`` like
     ``brute_force_topk``, so recall is directly comparable."""
+    # distinct: a multi-probe first stage (LSH buckets, overlapping IVF
+    # probes) may emit the same (qid, vec_id) twice; without dedup the
+    # duplicate would occupy two ranks and silently shrink effective k.
+    # Candidates are Q·shortlist rows, so the exchange is negligible.
     cand = candidates.select(
         F.col(qid_col).alias("qid"), F.col(id_col).alias("vec_id")
-    )
+    ).distinct()
     hyd = cand.join(
         vectors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")

@@ -1853,13 +1853,16 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit with no float-boundary risk — plus the keep/drop
     decision a repetition filter would make.
 
-    Scale shape: one scan; the only shuffle is the (doc_id, bigram) partial
-    +final count agg — keys are per-doc so there is no skew concentration,
-    and map-side combine collapses each doc's bigrams before the exchange.
-    The word stats ride in the grouping keys (per-doc constants), avoiding
-    a second join against the corpus; the left join reinstating
-    bigram-less docs is agg-output × agg-output, O(docs) rows of scalars,
-    never bodies."""
+    Scale shape: ONE pass over the corpus — the word stats (n, nd) ride
+    the grouping keys of the (doc_id, bigram) count agg as per-doc
+    constants, so there is no second scan and no join back; explode_outer
+    keeps bigram-less (single-word) docs as a null-bigram row whose count
+    is masked out of the max. Shuffle keys are per-doc, so no skew
+    concentration, and map-side combine collapses each doc's bigrams
+    before the exchange. (The leading round-robin repartition exists only
+    because the fixture is ONE parquet file/row-group — it spreads the
+    tokenize across cores locally; at 100 TB the input is thousands of
+    natural splits and the repartition is dropped.)"""
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     ws = F.split(F.trim(F.col("text")), " +")
@@ -1877,27 +1880,28 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>")).alias("bgs"),
     )
-    maxc = (
-        base.select("doc_id", F.explode("bgs").alias("bg"))
-        .groupBy("doc_id", "bg")
+    stats = (
+        base.select("doc_id", "n", "nd", F.explode_outer("bgs").alias("bg"))
+        .groupBy("doc_id", "n", "nd", "bg")
         .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("maxc"))
+        .groupBy("doc_id", "n", "nd")
+        .agg(
+            F.max(
+                F.when(F.col("bg").isNotNull(), F.col("count")).otherwise(0)
+            ).alias("maxc")
+        )
     )
     dup_micro = F.expr("(n - nd) * 1000000L div n")
-    tb_micro = F.expr("coalesce(maxc, 0L) * 2000000L div n")
-    return (
-        base.join(maxc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n").alias("n_words"),
-            dup_micro.alias("dup_word_micro"),
-            tb_micro.alias("top_bigram_micro"),
-            (
-                (dup_micro <= REP_DUP_MAX_MICRO)
-                & (tb_micro <= REP_BIGRAM_MAX_MICRO)
-            ).alias("keep"),
-        )
+    tb_micro = F.expr("maxc * 2000000L div n")
+    return stats.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        dup_micro.alias("dup_word_micro"),
+        tb_micro.alias("top_bigram_micro"),
+        (
+            (dup_micro <= REP_DUP_MAX_MICRO)
+            & (tb_micro <= REP_BIGRAM_MAX_MICRO)
+        ).alias("keep"),
     )
 
 

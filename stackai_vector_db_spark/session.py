@@ -40,10 +40,12 @@ def get_spark(
         # the whole engine's heap. 8g for 32 threads (0.25 GiB/thread)
         # leaves the storage fraction too small for the 1M-vector scale
         # probes — persisted vector tables evict and recompute under load.
-        # 32g on the 125 GiB test box matches the per-executor sizing a
-        # cluster deployment would give 32 cores; the fixture-SF bench and
-        # tests are unaffected either way (working set « either bound).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # 31g, NOT 32g: HotSpot disables compressed oops at Xmx >= 32 GiB
+        # (Spark's tuning guide calls this out), which doubles reference
+        # widths and would eat the very headroom the bump adds. Matches the
+        # per-executor sizing a cluster deployment would give 32 cores; the
+        # fixture-SF bench and tests are unaffected (working set « bound).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "31g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

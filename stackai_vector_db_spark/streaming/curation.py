@@ -12,11 +12,21 @@ dead-letter table with its reason (``low_quality`` / ``near_duplicate``),
 mirroring the batch ingest path's dead-letter contract
 (``sources/ingest.py``).
 
-Dedup semantics are FIRST-ARRIVAL-WINS: a batch doc is dropped when it
-near-duplicates an already-indexed doc or a smaller-id doc in its own
-batch. With arrival-ordered ids (the ingest-sequence case) this equals
-the one-shot batch twin — quality filter → ``minhash_lsh_pairs`` → drop
-every pair's ``id_b`` — which is how the parity test pins it.
+Dedup semantics are FIRST-ARRIVAL-WINS regardless of id values: the
+victim of every near-dup pair is the BATCH-side doc when the other side
+is already indexed (ids do not decide seniority — arrival does), and the
+larger id within a same-batch pair. With arrival-ordered ids (the
+ingest-sequence case) this coincides with the one-shot batch twin —
+quality filter → ``minhash_lsh_pairs`` → drop every pair's ``id_b`` —
+which is how the parity test pins it; out-of-order ids are pinned by a
+dedicated test (the newcomer is rejected even when its id is smaller).
+
+Exactly-once under retries: ``foreachBatch`` is at-least-once, so every
+write carries the epoch's ``batch_id`` as a partition column and uses
+dynamic-partition OVERWRITE — a replayed epoch rewrites its own
+partitions instead of appending duplicates — and index reads filter to
+``batch_id < current`` so a half-written epoch never pairs a batch
+against its own shingles (which would self-reject the whole batch).
 
 Extension module — the reference has no streaming surface (SURVEY.md
 §2.9); this composes the tested batch operators inside ``foreachBatch``
@@ -34,11 +44,31 @@ from stackai_vector_db_spark.operators.dedup import (
     build_minhash_index,
     incremental_minhash_pairs,
 )
-from stackai_vector_db_spark.streaming.dedup import (
-    _BANDED_SCHEMA,
-    _BASE_SCHEMA,
-    _read_or_empty,
-)
+
+_BASE_SCHEMA = "doc_id long, shingle_set array<bigint>, batch_id long"
+_BANDED_SCHEMA = "doc_id long, band int, bh bigint, batch_id long"
+
+
+def _read_index(spark: SparkSession, path: str, schema: str, before: int) -> DataFrame:
+    if os.path.isdir(path):
+        df = spark.read.schema(schema).parquet(path)
+        return df.filter(F.col("batch_id") < before).drop("batch_id")
+    cols = ", ".join(
+        c for c in schema.split(", ") if not c.startswith("batch_id")
+    )
+    return spark.createDataFrame([], cols)
+
+
+def _overwrite_epoch(df: DataFrame, bid: int, path: str) -> None:
+    """Idempotent epoch write: partition by batch_id, overwrite only this
+    epoch's partition (a foreachBatch replay rewrites, never duplicates)."""
+    (
+        df.withColumn("batch_id", F.lit(bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def curation_ingest_stream(
@@ -66,24 +96,26 @@ def curation_ingest_stream(
     docs_path = os.path.join(out_dir, "docs")
     rejects_path = os.path.join(out_dir, "rejects")
 
-    def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
         scored = batch_df.withColumn(
             "score", F.round(quality_score(F.col("text")), 6)
         )
-        low = scored.filter(F.col("score") < quality_keep)
-        low.select(
+        # Persist: low-reject, dup-reject and curated writes are three
+        # actions over the same scored/scrubbed batch — without a cache
+        # the regex scoring+scrub pipeline re-runs per action.
+        kept = pii_scrub(scored.filter(F.col("score") >= quality_keep)).persist()
+        low_rejects = scored.filter(F.col("score") < quality_keep).select(
             "doc_id", "text", F.lit("low_quality").alias("reason")
-        ).write.mode("append").parquet(rejects_path)
+        )
 
-        kept = pii_scrub(scored.filter(F.col("score") >= quality_keep))
         # Dedup runs on the scrubbed body: the canonical text the corpus
         # stores is also the text that defines near-duplication.
         dedup_in = kept.select("doc_id", F.col("clean_text").alias("text"))
-        old_base = _read_or_empty(sp, base_path, _BASE_SCHEMA)
-        old_banded = _read_or_empty(sp, banded_path, _BANDED_SCHEMA)
+        old_base = _read_index(sp, base_path, _BASE_SCHEMA, batch_id)
+        old_banded = _read_index(sp, banded_path, _BANDED_SCHEMA, batch_id)
         new_base, new_banded = build_minhash_index(
             dedup_in, k=k, n_hashes=n_hashes, n_bands=n_bands
         )
@@ -96,26 +128,57 @@ def curation_ingest_stream(
             n_bands=n_bands,
             jaccard_threshold=jaccard_threshold,
             new_index=(new_base, new_banded),
+        ).filter(F.col("id_a") != F.col("id_b"))
+        # First-arrival-wins: the stored side of a pair is senior no matter
+        # its id. Pairs are canonicalized id_a < id_b, so the victim is the
+        # side that is IN this batch — both sides for a within-batch pair,
+        # where the larger id (id_b) loses.
+        batch_ids = dedup_in.select("doc_id")
+        a_new = pairs.join(
+            batch_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
         )
-        # First-arrival-wins: every pair's id_b is the newer side (old ids
-        # precede batch ids; within a batch id_b > id_a), so id_b is the
-        # duplicate to drop.
-        victims = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        kept.join(victims, "doc_id", "left_semi").select(
+        b_new = pairs.join(
+            batch_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+        )
+        victims = (
+            b_new.select(F.col("id_b").alias("doc_id"))  # b in batch: b loses
+            .unionByName(
+                # a in batch while b is stored: a is the newcomer, a loses
+                a_new.join(
+                    batch_ids.withColumnRenamed("doc_id", "id_b"),
+                    "id_b",
+                    "left_anti",
+                ).select(F.col("id_a").alias("doc_id"))
+            )
+            .distinct()
+            .persist()
+        )
+        dup_rejects = kept.join(victims, "doc_id", "left_semi").select(
             "doc_id", "text", F.lit("near_duplicate").alias("reason")
-        ).write.mode("append").parquet(rejects_path)
-        kept.join(victims, "doc_id", "left_anti").select(
-            "doc_id",
-            F.col("clean_text").alias("text"),
-            "score",
-            "n_emails",
-            "n_phones",
-        ).write.mode("append").parquet(docs_path)
+        )
+        # ONE write per table per epoch: a second dynamic overwrite of the
+        # same batch_id partition would clobber the first.
+        _overwrite_epoch(
+            low_rejects.unionByName(dup_rejects), batch_id, rejects_path
+        )
+        _overwrite_epoch(
+            kept.join(victims, "doc_id", "left_anti").select(
+                "doc_id",
+                F.col("clean_text").alias("text"),
+                "score",
+                "n_emails",
+                "n_phones",
+            ),
+            batch_id,
+            docs_path,
+        )
         # Fold the whole quality-passing batch into the index (victims
         # included: they are already represented, appending them is what
         # keeps pair emission exactly-once across batches).
-        new_base.write.mode("append").parquet(base_path)
-        new_banded.write.mode("append").parquet(banded_path)
+        _overwrite_epoch(new_base, batch_id, base_path)
+        _overwrite_epoch(new_banded, batch_id, banded_path)
+        victims.unpersist()
+        kept.unpersist()
 
     reader = spark.readStream.schema("doc_id long, text string")
     if max_files_per_trigger is not None:

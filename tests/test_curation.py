@@ -187,3 +187,27 @@ def test_domain_mix_partition_invariant(spark):
         for r in domain_mix(docs.repartition(13), w).collect()
     }
     assert one == other
+
+
+def test_domain_mix_zero_weight_and_absent_stratum(spark):
+    """Explicit weight 0 is dropped without reaching the division
+    (ANSI-safe); a target stratum absent from the corpus is surfaced as a
+    zero row, not silently renormalized away."""
+    from stackai_vector_db_spark.operators.curation import domain_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    # weight 0: stratum b dropped entirely, no divide-by-zero
+    out = {r["lang"]: r for r in domain_mix(docs, {"a": 100, "b": 0}).collect()}
+    assert set(out) == {"a"}
+    assert out["a"]["rate_ppm"] == 1_000_000
+
+    # absent target stratum: zero row present, present strata still sampled
+    out = {
+        r["lang"]: r for r in domain_mix(docs, {"a": 50, "b": 25, "zz": 25}).collect()
+    }
+    assert set(out) == {"a", "b", "zz"}
+    assert (out["zz"]["n_in"], out["zz"]["rate_ppm"], out["zz"]["n_kept"]) == (0, 0, 0)
+    assert out["a"]["n_kept"] > 0

@@ -329,3 +329,74 @@ def test_curation_ingest_stream_matches_batch(spark, tmp_path):
         {(i, "low_quality") for i in low}
         | {(i, "near_duplicate") for i in victims}
     )
+
+
+def test_curation_stream_out_of_order_ids_newcomer_loses(spark, tmp_path):
+    """First-arrival-wins must hold on ids, not id ORDER: a later batch's
+    near-dup with a SMALLER id than the stored original is still the one
+    rejected (pairs are canonicalized id_a<id_b, so naive drop-id_b would
+    keep the newcomer and admit both copies)."""
+    from stackai_vector_db_spark.streaming.curation import curation_ingest_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    originals = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    # newcomers duplicate the originals but carry SMALLER ids
+    newcomers = originals.select(
+        (F.col("doc_id") - 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    docs_dir = str(tmp_path / "in")
+    originals.coalesce(1).write.mode("append").parquet(docs_dir)
+    newcomers.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    curation_ingest_stream(
+        spark,
+        docs_dir,
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+    )
+    docs_out = spark.read.parquet(str(tmp_path / "out/docs"))
+    rejects = spark.read.parquet(str(tmp_path / "out/rejects"))
+    dup_rejected = {
+        r.doc_id for r in rejects.filter(F.col("reason") == "near_duplicate").collect()
+    }
+    kept_ids = {r.doc_id for r in docs_out.collect()}
+    # every stored original that passed quality stays; its small-id
+    # newcomer is the rejected side
+    assert dup_rejected and all(i < 1000 for i in dup_rejected)
+    assert not any(i < 1000 and i + 1000 in kept_ids for i in kept_ids)
+
+
+def test_curation_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the whole input (no
+    checkpoint -> every epoch re-runs) must leave outputs byte-identical —
+    the epoch-partitioned dynamic overwrite rewrites, never duplicates,
+    and a replayed batch must not self-reject against its own shingles."""
+    from stackai_vector_db_spark.streaming.curation import curation_ingest_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 60)
+    docs_dir = str(tmp_path / "in")
+    corpus.filter(F.col("doc_id") < 30).coalesce(1).write.mode("append").parquet(docs_dir)
+    corpus.filter(F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    args = (spark, docs_dir, str(tmp_path / "index"), str(tmp_path / "out"))
+    curation_ingest_stream(*args, max_files_per_trigger=1)
+    first_docs = {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "out/docs")).collect()
+    }
+    first_rejects = {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "out/rejects")).collect()
+    }
+    assert first_docs
+    # full replay: same inputs, fresh stream, same epoch numbering
+    curation_ingest_stream(*args, max_files_per_trigger=1)
+    assert {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "out/docs")).collect()
+    } == first_docs
+    assert {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "out/rejects")).collect()
+    } == first_rejects
