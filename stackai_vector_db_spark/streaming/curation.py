@@ -44,31 +44,12 @@ from stackai_vector_db_spark.operators.dedup import (
     build_minhash_index,
     incremental_minhash_pairs,
 )
-
-_BASE_SCHEMA = "doc_id long, shingle_set array<bigint>, batch_id long"
-_BANDED_SCHEMA = "doc_id long, band int, bh bigint, batch_id long"
-
-
-def _read_index(spark: SparkSession, path: str, schema: str, before: int) -> DataFrame:
-    if os.path.isdir(path):
-        df = spark.read.schema(schema).parquet(path)
-        return df.filter(F.col("batch_id") < before).drop("batch_id")
-    cols = ", ".join(
-        c for c in schema.split(", ") if not c.startswith("batch_id")
-    )
-    return spark.createDataFrame([], cols)
-
-
-def _overwrite_epoch(df: DataFrame, bid: int, path: str) -> None:
-    """Idempotent epoch write: partition by batch_id, overwrite only this
-    epoch's partition (a foreachBatch replay rewrites, never duplicates)."""
-    (
-        df.withColumn("batch_id", F.lit(bid))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(path)
-    )
+from stackai_vector_db_spark.streaming.dedup import (
+    _BANDED_SCHEMA,
+    _BASE_SCHEMA,
+    _overwrite_epoch,
+    _read_or_empty,
+)
 
 
 def curation_ingest_stream(
@@ -114,8 +95,10 @@ def curation_ingest_stream(
         # Dedup runs on the scrubbed body: the canonical text the corpus
         # stores is also the text that defines near-duplication.
         dedup_in = kept.select("doc_id", F.col("clean_text").alias("text"))
-        old_base = _read_index(sp, base_path, _BASE_SCHEMA, batch_id)
-        old_banded = _read_index(sp, banded_path, _BANDED_SCHEMA, batch_id)
+        old_base = _read_or_empty(sp, base_path, _BASE_SCHEMA, before=batch_id)
+        old_banded = _read_or_empty(
+            sp, banded_path, _BANDED_SCHEMA, before=batch_id
+        )
         new_base, new_banded = build_minhash_index(
             dedup_in, k=k, n_hashes=n_hashes, n_bands=n_bands
         )

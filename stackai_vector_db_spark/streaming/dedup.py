@@ -15,6 +15,14 @@ exactly once — by the batch that completes it — so the union of per-batch
 pairs equals the one-shot ``minhash_lsh_pairs`` over the whole corpus
 regardless of arrival order (tested in tests/test_streaming.py).
 
+At-least-once safety: ``foreachBatch`` may replay an epoch after a
+mid-batch failure, so every write carries the epoch's ``batch_id`` as a
+partition column with dynamic-partition OVERWRITE (a replay rewrites its
+own partitions, never appends duplicates), and index reads filter to
+``batch_id < current`` so a half-written epoch never band-joins a batch
+against its own shingles (which would emit every within-batch pair twice
+and self-pairs besides).
+
 Extension module — the reference has no streaming surface (SURVEY.md §2.9);
 its nearest analog is the incremental ``add_vector`` path
 (``app/indexes/ivf.py:168-196``).
@@ -24,22 +32,44 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from stackai_vector_db_spark.operators.dedup import (
     build_minhash_index,
     incremental_minhash_pairs,
 )
 
-_BASE_SCHEMA = "doc_id long, shingle_set array<bigint>"
-_BANDED_SCHEMA = "doc_id long, band int, bh bigint"
-_PAIRS_SCHEMA = "id_a long, id_b long, jaccard double"
+_BASE_SCHEMA = "doc_id long, shingle_set array<bigint>, batch_id long"
+_BANDED_SCHEMA = "doc_id long, band int, bh bigint, batch_id long"
+_PAIRS_SCHEMA = "id_a long, id_b long, jaccard double, batch_id long"
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: str, before: int | None = None
+) -> DataFrame:
+    """Read an epoch-partitioned state table; ``before`` filters to epochs
+    strictly earlier than the given batch_id (and drops the column)."""
     if os.path.isdir(path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(path)
+        if before is not None:
+            df = df.filter(F.col("batch_id") < before).drop("batch_id")
+        return df
+    cols = ", ".join(
+        c for c in schema.split(", ") if not c.startswith("batch_id")
+    )
+    return spark.createDataFrame([], cols)
+
+
+def _overwrite_epoch(df: DataFrame, bid: int, path: str) -> None:
+    """Idempotent epoch write: partition by batch_id, overwrite only this
+    epoch's partition — a foreachBatch replay rewrites, never duplicates."""
+    (
+        df.withColumn("batch_id", F.lit(bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 def dedup_ingest_stream(
@@ -65,12 +95,14 @@ def dedup_ingest_stream(
     base_path = os.path.join(index_dir, "base")
     banded_path = os.path.join(index_dir, "banded")
 
-    def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
-        old_base = _read_or_empty(sp, base_path, _BASE_SCHEMA)
-        old_banded = _read_or_empty(sp, banded_path, _BANDED_SCHEMA)
+        old_base = _read_or_empty(sp, base_path, _BASE_SCHEMA, before=batch_id)
+        old_banded = _read_or_empty(
+            sp, banded_path, _BANDED_SCHEMA, before=batch_id
+        )
         new_base, new_banded = build_minhash_index(
             batch_df, k=k, n_hashes=n_hashes, n_bands=n_bands
         )
@@ -83,12 +115,12 @@ def dedup_ingest_stream(
             n_bands=n_bands,
             jaccard_threshold=jaccard_threshold,
             new_index=(new_base, new_banded),
-        )
-        pairs.write.mode("append").parquet(pairs_dir)
-        # The operator persisted+filled these; the appends below read the
+        ).filter(F.col("id_a") != F.col("id_b"))
+        _overwrite_epoch(pairs, batch_id, pairs_dir)
+        # The operator persisted+filled these; the writes below read the
         # cache, not the raw batch again.
-        new_base.write.mode("append").parquet(base_path)
-        new_banded.write.mode("append").parquet(banded_path)
+        _overwrite_epoch(new_base, batch_id, base_path)
+        _overwrite_epoch(new_banded, batch_id, banded_path)
 
     reader = spark.readStream.schema("doc_id long, text string")
     if max_files_per_trigger is not None:
