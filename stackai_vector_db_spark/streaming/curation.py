@@ -63,13 +63,17 @@ def curation_ingest_stream(
     jaccard_threshold: float = 0.5,
     quality_keep: float = 0.5,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Drain ``docs_dir`` (parquet files of (doc_id, text)) as a stream;
     append curated rows to ``out_dir``/docs and rejects (with reasons) to
     ``out_dir``/rejects. ``availableNow`` trigger → terminates when the
     current input is drained; state (LSH index + outputs) lives in
     parquet, so the stream is restartable and the curated corpus is
-    queryable between triggers."""
+    queryable between triggers. Pass ``checkpoint_dir`` when invoking the
+    stream repeatedly over a growing input directory (see
+    ``dedup_ingest_stream`` — it keeps batch_id monotonic, which the
+    epoch-partitioned writes depend on)."""
     from stackai_vector_db_spark.functions.text import quality_score
 
     base_path = os.path.join(index_dir, "base")
@@ -167,5 +171,8 @@ def curation_ingest_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
-    q = stream.writeStream.foreachBatch(handle_batch).trigger(availableNow=True).start()
+    writer = stream.writeStream.foreachBatch(handle_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()

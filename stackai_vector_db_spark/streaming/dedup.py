@@ -82,6 +82,7 @@ def dedup_ingest_stream(
     n_bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Drain ``docs_dir`` (parquet files of (doc_id, text)) as a stream,
     deduping each micro-batch against the accumulated index under
@@ -91,6 +92,15 @@ def dedup_ingest_stream(
     a production deployment drops the trigger and runs forever. State
     (index + pairs) lives in parquet, so the stream is restartable and the
     index is queryable by any batch job between triggers.
+
+    Pass ``checkpoint_dir`` when the stream will be INVOKED repeatedly
+    over a growing input directory: the offset log then skips already-
+    consumed files and keeps batch_id monotonic across invocations (the
+    epoch-partitioned writes depend on distinct content getting distinct
+    batch ids). Without a checkpoint, a re-invocation re-processes
+    everything with batch ids restarting at 0 — byte-identical replay,
+    which the epoch overwrite makes idempotent, but any NEW files must
+    then arrive alongside the old ones, not replace them.
     """
     base_path = os.path.join(index_dir, "base")
     banded_path = os.path.join(index_dir, "banded")
@@ -126,5 +136,8 @@ def dedup_ingest_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
-    q = stream.writeStream.foreachBatch(handle_batch).trigger(availableNow=True).start()
+    writer = stream.writeStream.foreachBatch(handle_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()

@@ -77,21 +77,20 @@ def main() -> None:
                 1
             ).write.mode("append").parquet(docs_dir)
             t0 = time.perf_counter()
-            # availableNow drains exactly the files present — one probe
-            # iteration = one micro-batch against the accumulated index.
+            # The shared checkpoint makes each invocation drain only the
+            # NEW file and keeps batch_id monotonic across invocations —
+            # one probe iteration = one micro-batch against the
+            # accumulated index.
             dedup_ingest_stream(
                 spark,
                 docs_dir,
                 os.path.join(root, "index"),
                 os.path.join(root, "pairs"),
                 max_files_per_trigger=None,
+                checkpoint_dir=os.path.join(root, "ckpt"),
             )
             batch_times.append(round(time.perf_counter() - t0, 3))
             total_docs += per_batch
-            # consumed files are re-listed next trigger; move the processed
-            # file out so each iteration feeds exactly one new batch
-            for f in os.listdir(docs_dir):
-                os.remove(os.path.join(docs_dir, f))
         n_pairs = spark.read.parquet(os.path.join(root, "pairs")).count()
         print(
             json.dumps(
