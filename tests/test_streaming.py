@@ -400,3 +400,41 @@ def test_curation_stream_replay_is_idempotent(spark, tmp_path):
     assert {
         tuple(r) for r in spark.read.parquet(str(tmp_path / "out/rejects")).collect()
     } == first_rejects
+
+
+def test_curation_stream_checkpointed_invocations(spark, tmp_path):
+    """Two separate checkpointed invocations over a growing input dir
+    must behave like one run: the second invocation drains only the new
+    file with a HIGHER batch_id, so its epoch write never clobbers the
+    first wave's index/output partitions."""
+    from stackai_vector_db_spark.streaming.curation import curation_ingest_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    wave1 = d.filter(F.col("doc_id") < 25)
+    wave2 = d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" x")).alias("text")
+    )
+    docs_dir = str(tmp_path / "in")
+    args = (spark, docs_dir, str(tmp_path / "index"), str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1.coalesce(1).write.mode("append").parquet(docs_dir)
+    curation_ingest_stream(*args, checkpoint_dir=ckpt)
+    first = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "out/docs")).collect()
+    }
+    wave2.coalesce(1).write.mode("append").parquet(docs_dir)
+    curation_ingest_stream(*args, checkpoint_dir=ckpt)
+    both = spark.read.parquet(str(tmp_path / "out/docs"))
+    ids = {r.doc_id for r in both.collect()}
+    # wave-1 output survives the second invocation (distinct epochs)...
+    assert first and first <= ids
+    # ...wave 2 actually arrived, and nothing was processed twice
+    assert ids - first and both.count() == both.select("doc_id").distinct().count()
+    # and the index holds both epochs
+    bids = {
+        r.batch_id
+        for r in spark.read.parquet(str(tmp_path / "index/base"))
+        .select("batch_id").distinct().collect()
+    }
+    assert len(bids) == 2
