@@ -47,17 +47,31 @@ _PAIRS_SCHEMA = "id_a long, id_b long, jaccard double, batch_id long"
 def _read_or_empty(
     spark: SparkSession, path: str, schema: str, before: int | None = None
 ) -> DataFrame:
-    """Read an epoch-partitioned state table; ``before`` filters to epochs
-    strictly earlier than the given batch_id (and drops the column)."""
+    """Read an epoch-partitioned state table WITHOUT the batch_id column;
+    ``before`` filters to epochs strictly earlier than the given batch_id,
+    ``None`` means every epoch. Handles two legacy/edge layouts: rows
+    written by the pre-epoch append-based code have no batch_id (reads as
+    null → treated as epoch -1, i.e. always earlier — never silently
+    dropped), and a path that does not exist yet yields an empty frame of
+    the data columns."""
+    data_cols = ", ".join(
+        c for c in schema.split(", ") if not c.startswith("batch_id")
+    )
     if os.path.isdir(path):
         df = spark.read.schema(schema).parquet(path)
         if before is not None:
-            df = df.filter(F.col("batch_id") < before).drop("batch_id")
-        return df
-    cols = ", ".join(
-        c for c in schema.split(", ") if not c.startswith("batch_id")
-    )
-    return spark.createDataFrame([], cols)
+            df = df.filter(
+                F.coalesce(F.col("batch_id"), F.lit(-1)) < before
+            )
+        return df.drop("batch_id")
+    return spark.createDataFrame([], data_cols)
+
+
+def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Schema-aware read of the pairs table: safe when the directory is
+    missing or holds only empty epochs (a corpus with no near-dups writes
+    zero data files, which plain ``spark.read.parquet`` cannot infer)."""
+    return _read_or_empty(spark, pairs_dir, _PAIRS_SCHEMA)
 
 
 def _overwrite_epoch(df: DataFrame, bid: int, path: str) -> None:
@@ -99,8 +113,11 @@ def dedup_ingest_stream(
     epoch-partitioned writes depend on distinct content getting distinct
     batch ids). Without a checkpoint, a re-invocation re-processes
     everything with batch ids restarting at 0 — byte-identical replay,
-    which the epoch overwrite makes idempotent, but any NEW files must
-    then arrive alongside the old ones, not replace them.
+    which the epoch overwrite makes idempotent, but ONLY if the replay
+    keeps the same trigger settings/file layout: a replay that groups the
+    files into fewer batches rewrites only the low epochs and leaves the
+    original run's higher epochs stale beside them. New files must arrive
+    alongside the old ones, never replace them.
     """
     base_path = os.path.join(index_dir, "base")
     banded_path = os.path.join(index_dir, "banded")

@@ -438,3 +438,23 @@ def test_curation_stream_checkpointed_invocations(spark, tmp_path):
         .select("batch_id").distinct().collect()
     }
     assert len(bids) == 2
+
+
+def test_epoch_state_readers_handle_legacy_and_empty(spark, tmp_path):
+    """_read_or_empty treats pre-epoch (no batch_id) rows as epoch -1 —
+    never silently dropped — and read_pairs survives a missing pairs dir."""
+    from stackai_vector_db_spark.streaming.dedup import (
+        _BASE_SCHEMA,
+        _read_or_empty,
+        read_pairs,
+    )
+
+    legacy = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, [11, 22])], "doc_id long, shingle_set array<bigint>"
+    ).write.parquet(legacy)  # pre-epoch layout: no batch_id anywhere
+    got = _read_or_empty(spark, legacy, _BASE_SCHEMA, before=0)
+    assert [r.doc_id for r in got.collect()] == [1]  # epoch -1 < 0: kept
+    assert "batch_id" not in got.columns
+
+    assert read_pairs(spark, str(tmp_path / "nope")).count() == 0

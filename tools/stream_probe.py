@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from stackai_vector_db_spark.session import get_spark  # noqa: E402
-from stackai_vector_db_spark.streaming.dedup import dedup_ingest_stream  # noqa: E402
+from stackai_vector_db_spark.streaming.dedup import (  # noqa: E402
+    dedup_ingest_stream,
+    read_pairs,
+)
 
 
 def synth_docs(spark, lo: int, hi: int, dup_every: int = 20):
@@ -91,7 +94,7 @@ def main() -> None:
             )
             batch_times.append(round(time.perf_counter() - t0, 3))
             total_docs += per_batch
-        n_pairs = spark.read.parquet(os.path.join(root, "pairs")).count()
+        n_pairs = read_pairs(spark, os.path.join(root, "pairs")).count()
         print(
             json.dumps(
                 {
