@@ -3273,50 +3273,48 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries that were already green in r1/r2 while 25 registered queries
 # (12 never swept, 13 r2-green rotated out) got no row. Round-4 rule:
 # spend the slots on exactly the queries that lack driver proof.
-#   positions 1-31: the ids with no r3 row (q_ann_lsh_topk — the only
-#     historical hash-FAIL, fixed in r3 — leads), q_stratified_sample
-#     (hash formula changed this round, needs fresh proof), and the five
-#     queries new in r4 (residual IVF-PQ, curation flagship, repetition
-#     stats, domain mix, PQ refine).
-#     Within the block: cheap queries first as insurance against any
-#     residual time component; artifact-heavy builders last.
-#   positions 32-50: the §2-core regression set (all r3-green) so the
-#     core contract keeps a row in consecutive rounds; includes
-#     q_sample_hash, whose hash formula also changed this round. The
-#     three stablest core ids (fn_euclidean, fn_cosine, ingest_validate)
-#     slid just past the cutoff to fund the five new-query slots.
-#   past 50: r3-green queries that can wait a round for their next row.
+#   Round-5 rule (proof freshness): every id's driver row should be at
+#   most one round old.
+#   positions 1-30: the ids whose latest driver row is r3 (rotated out of
+#     r4's count-capped file) — they re-verified green in the r4 judge's
+#     strict local sweep, but proof decays as code changes; they lead so
+#     r5 refreshes them. Cheap fn/scan ids first as insurance.
+#   positions 31-50: first, the four PQ-family ids promoted this round
+#     from rows-only to hash-checked (new DuckDB oracles over persisted
+#     codebook/code artifacts — their first-ever hash rows) plus
+#     q_domain_mix (oracle rewritten to LEFT JOIN this round); then the
+#     §2-core regression set so the core contract keeps a row in
+#     consecutive rounds.
+#   past 50: r4-green queries that can wait a round for their next row.
 SWEEP_ORDER = [
-    # --- 1-31: no driver row yet (new in r4, or formula changed) ---
-    "q_ann_lsh_topk",
-    "q_fake_embed", "q_asof_join", "q_range_join",
-    "q_events_sliding", "q_events_dedup", "q_zorder_box",
-    "q_multimodal_features", "q_stratified_sample",
-    "q_join_hits_chunks", "q_embed_knn_e2e",
-    "q_decontaminate", "q_simhash_near", "q_ngram_jaccard",
-    "q_dedup_minhash_lsh", "q_dedup_cosine",
-    "q_dedup_incremental", "q_dedup_embed_incremental",
-    "q_assign_centroid", "q_ivf_probe_topk",
-    "q_corpus_pipeline", "q_knn_graph", "q_dedup_components",
-    "q_pq_adc_topk", "q_ivf_pq_topk", "q_kmeans_build",
-    "q_ivf_pq_residual_topk", "q_curation_e2e",  # new in r4 — need first rows
-    "q_repetition_stats", "q_domain_mix", "q_pq_refine_topk",  # new in r4
-    # --- 32-50: §2-core regression set (r3-green) ---
-    "q_knn_brute_topk", "q_knn_window_rank",
-    "q_scan_project", "q_point_lookup", "q_filter_fk", "q_filter_ci_name",
-    "q_semi_exists", "q_filter_missing_emb", "q_threshold_filter",
-    "q_anti_tombstone", "q_cascade_anti", "q_count_by_group",
-    "q_cluster_stats", "q_dirty_ratio", "q_index_stats", "q_dim_check",
-    "q_pagination", "q_sample_hash", "q_except_deleted",
-    "q_fn_euclidean", "q_fn_cosine", "q_ingest_validate",
-    # --- past 50: r3-green, next row in a later round's rotation ---
-    "q_tpch_q3", "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
+    # --- 1-30: latest driver row is r3 — refresh first ---
+    "q_fn_euclidean", "q_fn_cosine", "q_ingest_validate", "q_tpch_q3",
+    "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
     "q_union_libraries", "q_text_stats", "q_dedup_exact", "q_lang_id",
     "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
     "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",
     "q_join_smj", "q_join_broadcast", "q_json_extract", "q_window_frame",
     "q_window_lag", "q_shard_pack", "q_pii_scrub", "q_approx_distinct",
     "q_events_tumbling", "q_events_session",
+    # --- 31-50: newly hash-promoted + changed oracles, then §2 core ---
+    "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_topk",
+    "q_ivf_pq_residual_topk", "q_domain_mix", "q_knn_brute_topk",
+    "q_knn_window_rank", "q_scan_project", "q_point_lookup", "q_filter_fk",
+    "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
+    "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
+    "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
+    "q_index_stats",
+    # --- past 50: r4-green, next row in a later round's rotation ---
+    "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
+    "q_events_sliding", "q_events_dedup", "q_zorder_box",
+    "q_multimodal_features", "q_stratified_sample", "q_join_hits_chunks",
+    "q_embed_knn_e2e", "q_decontaminate", "q_simhash_near",
+    "q_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_cosine",
+    "q_dedup_incremental", "q_dedup_embed_incremental",
+    "q_assign_centroid", "q_ivf_probe_topk", "q_corpus_pipeline",
+    "q_knn_graph", "q_dedup_components", "q_kmeans_build",
+    "q_curation_e2e", "q_repetition_stats", "q_dim_check", "q_pagination",
+    "q_sample_hash", "q_except_deleted",
 ]
 
 

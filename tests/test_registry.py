@@ -38,17 +38,25 @@ def test_rows_only_set_is_closed():
 
 def test_unproven_ids_lead_the_sweep():
     """The driver records at most 50 correctness rows per round; the ids
-    that still need proof (per round-4 analysis) must sit inside the
-    budget. If this fails after editing SWEEP_ORDER, re-read the ordering
-    comment above it."""
+    whose latest driver row is OLDEST must sit inside the budget (proof
+    freshness — no id's row should be more than one round stale). Reads
+    the LATEST CORRECTNESS_r*.json so the assertion tracks rounds instead
+    of pinning one (the r4-judge wart: a hardcoded r03 path silently
+    approved a stale ordering). If this fails after editing SWEEP_ORDER,
+    re-read the ordering comment above it."""
+    import glob
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
-    if not os.path.exists(path):
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
         return
-    with open(path) as f:
-        r3 = set(json.load(f))
+    with open(files[-1]) as f:
+        latest = set(json.load(f))
     top50 = set(SWEEP_ORDER[:50])
-    missing = [q for q in SWEEP_ORDER if q not in r3 and q not in top50]
-    assert not missing, f"ids lacking an r3 row sit past the 50-row budget: {missing}"
+    missing = [q for q in SWEEP_ORDER if q not in latest and q not in top50]
+    assert not missing, (
+        f"ids lacking a row in {os.path.basename(files[-1])} sit past the "
+        f"50-row budget: {missing}"
+    )
