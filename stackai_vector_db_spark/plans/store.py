@@ -459,11 +459,10 @@ class VectorStore:
         return os.path.join(self.root, "control", "dirty")
 
     def _write_dirty(self, df: DataFrame) -> None:
-        # tiny control table → stage then rewrite, single file
-        tmp_path = self._dirty_path() + "_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp_path)
-        staged = self.spark.read.parquet(tmp_path)
-        staged.coalesce(1).write.mode("overwrite").parquet(self._dirty_path())
+        # tiny control table (O(libraries) rows) → the guarded staged
+        # single-file rewrite; MAX_CONTROL_ROWS turns the size assumption
+        # into an enforced contract.
+        self._rewrite_control(df, self._dirty_path())
 
     def _bump_dirty(self, new_rows: DataFrame) -> None:
         inc = new_rows.groupBy("library_id").agg(F.count(F.lit(1)).alias("dirty_count"))

@@ -3063,12 +3063,18 @@ _DK_MIX_W = (
     WITH c AS (
       SELECT lang, count(*)::BIGINT AS n_in FROM documents GROUP BY lang),
     cw AS (
-      SELECT c.lang, c.n_in, w.wt::BIGINT AS weight
-      FROM c JOIN {_DK_MIX_W} ON c.lang = w.lang),
-    m AS (SELECT min(n_in * 100 // weight) AS nn FROM cw),
+      -- LEFT JOIN from the policy table, mirroring the operator: a target
+      -- stratum absent from the corpus keeps its row (n_in = 0, rate 0)
+      SELECT w.lang, coalesce(c.n_in, 0)::BIGINT AS n_in, w.wt::BIGINT AS weight
+      FROM {_DK_MIX_W} LEFT JOIN c ON c.lang = w.lang),
+    m AS (
+      SELECT min(CASE WHEN n_in > 0 THEN n_in * 100 // weight END) AS nn
+      FROM cw),
     r AS (
       SELECT lang, n_in, weight,
-             ((SELECT nn FROM m) * weight // 100) * 1000000 // n_in AS rate_ppm
+             CASE WHEN n_in > 0
+               THEN ((SELECT nn FROM m) * weight // 100) * 1000000 // n_in
+               ELSE 0 END AS rate_ppm
       FROM cw),
     k AS (
       SELECT d.lang, count(*)::BIGINT AS n_kept

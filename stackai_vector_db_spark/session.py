@@ -13,6 +13,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the driver heap from what the HOST actually has, instead of
+    assuming a big-memory box (round-4 advisor finding: a flat 31g default
+    risks an OOM-kill on cgroup/memory-capped hosts).
+
+    Policy: 60% of MemAvailable (leaves room for Python workers + page
+    cache), clamped to [4g, 31g] — 31g, NOT 32g, because HotSpot disables
+    compressed oops at Xmx >= 32 GiB (Spark tuning guide), doubling
+    reference widths. A cgroup-v2 memory.max below MemAvailable wins.
+    Always overridable via SPARK_DRIVER_MEMORY."""
+    avail_gib = 8.0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+    except OSError:
+        return "8g"
+    try:
+        with open("/sys/fs/cgroup/memory.max") as f:
+            lim = f.read().strip()
+        if lim != "max":
+            avail_gib = min(avail_gib, int(lim) / 2**30)
+    except (OSError, ValueError):
+        pass
+    return f"{max(4, min(31, int(avail_gib * 0.6)))}g"
+
+
 def get_spark(
     app_name: str = "stackai-vector-db-spark",
     master: str | None = None,
@@ -39,13 +68,15 @@ def get_spark(
         # local[N] puts every executor thread in the driver JVM, so this is
         # the whole engine's heap. 8g for 32 threads (0.25 GiB/thread)
         # leaves the storage fraction too small for the 1M-vector scale
-        # probes — persisted vector tables evict and recompute under load.
-        # 31g, NOT 32g: HotSpot disables compressed oops at Xmx >= 32 GiB
-        # (Spark's tuning guide calls this out), which doubles reference
-        # widths and would eat the very headroom the bump adds. Matches the
-        # per-executor sizing a cluster deployment would give 32 cores; the
-        # fixture-SF bench and tests are unaffected (working set « bound).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "31g"))
+        # probes — persisted vector tables evict and recompute under load —
+        # so size to the host: 60% of MemAvailable, capped at 31g (see
+        # _default_driver_memory). On the 128 GiB sandbox this lands at
+        # 31g, matching the per-executor sizing a cluster deployment would
+        # give 32 cores; on a memory-capped CI host it degrades gracefully.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -98,11 +98,21 @@ def curation_ingest_stream(
 
         # Dedup runs on the scrubbed body: the canonical text the corpus
         # stores is also the text that defines near-duplication.
-        dedup_in = kept.select("doc_id", F.col("clean_text").alias("text"))
         old_base = _read_or_empty(sp, base_path, _BASE_SCHEMA, before=batch_id)
         old_banded = _read_or_empty(
             sp, banded_path, _BANDED_SCHEMA, before=batch_id
         )
+        # A doc_id already in the stored index is a re-ingest of itself:
+        # reject it OUTRIGHT before pairing (round-4 advisor finding — the
+        # id_a != id_b pair filter would otherwise re-admit it, appending
+        # a duplicate doc_id to the corpus and double-counting its
+        # shingles in the index). Keeps the index unique on doc_id.
+        stored_ids = old_base.select("doc_id")
+        reingests = kept.join(stored_ids, "doc_id", "left_semi").select(
+            "doc_id", "text", F.lit("duplicate_doc_id").alias("reason")
+        )
+        kept_new = kept.join(stored_ids, "doc_id", "left_anti")
+        dedup_in = kept_new.select("doc_id", F.col("clean_text").alias("text"))
         new_base, new_banded = build_minhash_index(
             dedup_in, k=k, n_hashes=n_hashes, n_bands=n_bands
         )
@@ -140,16 +150,18 @@ def curation_ingest_stream(
             .distinct()
             .persist()
         )
-        dup_rejects = kept.join(victims, "doc_id", "left_semi").select(
+        dup_rejects = kept_new.join(victims, "doc_id", "left_semi").select(
             "doc_id", "text", F.lit("near_duplicate").alias("reason")
         )
         # ONE write per table per epoch: a second dynamic overwrite of the
         # same batch_id partition would clobber the first.
         _overwrite_epoch(
-            low_rejects.unionByName(dup_rejects), batch_id, rejects_path
+            low_rejects.unionByName(reingests).unionByName(dup_rejects),
+            batch_id,
+            rejects_path,
         )
         _overwrite_epoch(
-            kept.join(victims, "doc_id", "left_anti").select(
+            kept_new.join(victims, "doc_id", "left_anti").select(
                 "doc_id",
                 F.col("clean_text").alias("text"),
                 "score",

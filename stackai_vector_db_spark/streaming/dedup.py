@@ -57,14 +57,36 @@ def _read_or_empty(
     data_cols = ", ".join(
         c for c in schema.split(", ") if not c.startswith("batch_id")
     )
-    if os.path.isdir(path):
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], data_cols)
+    entries = os.listdir(path)
+    root_files = [
+        f for f in entries if f.startswith("part-") and f.endswith(".parquet")
+    ]
+    has_epochs = any(f.startswith("batch_id=") for f in entries)
+    if not has_epochs:
+        # Pure pre-epoch layout (or empty dir): batch_id is absent from the
+        # files, reads as null → epoch -1, always earlier than any `before`.
         df = spark.read.schema(schema).parquet(path)
         if before is not None:
-            df = df.filter(
-                F.coalesce(F.col("batch_id"), F.lit(-1)) < before
-            )
+            df = df.filter(F.coalesce(F.col("batch_id"), F.lit(-1)) < before)
         return df.drop("batch_id")
-    return spark.createDataFrame([], data_cols)
+    df = spark.read.schema(schema).parquet(path)
+    if before is not None:
+        df = df.filter(F.col("batch_id") < before)
+    df = df.drop("batch_id")
+    if root_files:
+        # MIXED layout: a pre-epoch dir that has since received epoch
+        # writes. Spark's partition discovery over batch_id=*/ silently
+        # ignores the unpartitioned root files, which would forget the
+        # whole legacy index (round-4 advisor finding) — read the root
+        # files explicitly as epoch -1 and union. Epoch -1 is earlier than
+        # every real epoch, so no `before` filter applies to it.
+        legacy = spark.read.schema(data_cols).parquet(
+            *[os.path.join(path, f) for f in root_files]
+        )
+        df = df.unionByName(legacy)
+    return df
 
 
 def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:

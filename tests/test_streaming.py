@@ -458,3 +458,152 @@ def test_epoch_state_readers_handle_legacy_and_empty(spark, tmp_path):
     assert "batch_id" not in got.columns
 
     assert read_pairs(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_curation_stream_rejects_reingested_doc_id(spark, tmp_path):
+    """A doc_id re-arriving in a later batch is a re-ingest of its stored
+    self: it must land in the dead-letter table as duplicate_doc_id, not
+    re-enter the corpus (round-4 advisor finding — the id_a != id_b pair
+    filter alone would re-admit it and double-count its shingles)."""
+    from stackai_vector_db_spark.functions.text import quality_score
+    from stackai_vector_db_spark.streaming.curation import curation_ingest_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    good = d.withColumn("s", quality_score(F.col("text"))).filter(
+        F.col("s") >= 0.5
+    ).drop("s").limit(20).persist()
+    assert good.count() == 20
+
+    docs_dir = str(tmp_path / "in")
+    good.coalesce(1).write.mode("append").parquet(docs_dir)   # wave 1
+    good.coalesce(1).write.mode("append").parquet(docs_dir)   # wave 2: re-ingest
+
+    curation_ingest_stream(
+        spark,
+        docs_dir,
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+    )
+    docs = spark.read.parquet(str(tmp_path / "out/docs"))
+    # corpus stays unique on doc_id
+    assert docs.count() == docs.select("doc_id").distinct().count()
+    rejects = spark.read.parquet(str(tmp_path / "out/rejects"))
+    dup_ids = {
+        r.doc_id
+        for r in rejects.filter(F.col("reason") == "duplicate_doc_id").collect()
+    }
+    assert dup_ids == {r.doc_id for r in good.collect()}
+    # index stays unique on doc_id too
+    base = spark.read.parquet(str(tmp_path / "index/base"))
+    assert base.count() == base.select("doc_id").distinct().count()
+    good.unpersist()
+
+
+def test_curation_stream_crash_mid_epoch_replays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the stream MID-EPOCH — after the epoch's rejects partition is
+    written but before its docs/index writes — then restart from the
+    checkpoint. The replayed epoch must dynamic-overwrite the half-written
+    partitions, leaving exactly the same outputs as a never-crashed run
+    (the snapshot-atomicity contract the reference enforces with an RW
+    lock, index_service.py:270-283, re-expressed as epoch-idempotent
+    writes + checkpointed offsets)."""
+    import stackai_vector_db_spark.streaming.curation as cur
+    from stackai_vector_db_spark.functions.text import quality_score
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    good = d.withColumn("s", quality_score(F.col("text"))).filter(
+        F.col("s") >= 0.5
+    ).drop("s").persist()
+    wave1 = good.filter(F.col("doc_id") % 2 == 0)
+    wave2 = good.filter(F.col("doc_id") % 2 == 1)
+
+    def run(tag, docs_dir, crash):
+        out = str(tmp_path / tag / "out")
+        idx = str(tmp_path / tag / "index")
+        ckpt = str(tmp_path / tag / "ckpt")
+        real = cur._overwrite_epoch
+
+        def failing(df, bid, path):
+            if bid == 1 and path.endswith("/docs"):
+                raise RuntimeError("injected crash mid-epoch 1")
+            real(df, bid, path)
+
+        if crash:
+            monkeypatch.setattr(cur, "_overwrite_epoch", failing)
+            try:
+                cur.curation_ingest_stream(
+                    spark, docs_dir, idx, out,
+                    max_files_per_trigger=1, checkpoint_dir=ckpt,
+                )
+                raise AssertionError("stream should have crashed mid-epoch 1")
+            except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
+                assert "injected crash" in str(e)
+            finally:
+                monkeypatch.setattr(cur, "_overwrite_epoch", real)
+            # partial epoch on disk: the epoch-1 docs write never landed
+            docs_bids = {
+                r.batch_id
+                for r in spark.read.parquet(out + "/docs")
+                .select("batch_id").distinct().collect()
+            }
+            assert docs_bids == {0}
+        # (re)start from the checkpoint — replays the uncommitted epoch
+        cur.curation_ingest_stream(
+            spark, docs_dir, idx, out,
+            max_files_per_trigger=1, checkpoint_dir=ckpt,
+        )
+        docs = _rows(spark.read.parquet(out + "/docs"), ["doc_id"])
+        rejects = _rows(
+            spark.read.parquet(out + "/rejects"), ["doc_id", "reason"]
+        )
+        return docs, rejects
+
+    in_a = str(tmp_path / "a" / "in")
+    in_b = str(tmp_path / "b" / "in")
+    for dd in (in_a, in_b):
+        wave1.coalesce(1).write.mode("append").parquet(dd)
+        wave2.coalesce(1).write.mode("append").parquet(dd)
+
+    crashed = run("a", in_a, crash=True)
+    clean = run("b", in_b, crash=False)
+    assert crashed == clean
+    # exactly-once: no doc appears twice in either output
+    assert len(crashed[0]) == len(set(crashed[0]))
+    good.unpersist()
+
+
+def test_epoch_state_reader_mixed_layout_keeps_legacy_rows(spark, tmp_path):
+    """Round-4 advisor finding: once the first epoch write lands in a
+    pre-epoch dir, Spark partition discovery over the mixed layout ignores
+    the unpartitioned root files — the accumulated legacy index silently
+    vanished. The reader must union root files (epoch -1) with the epoch
+    partitions."""
+    from stackai_vector_db_spark.streaming.dedup import (
+        _BASE_SCHEMA,
+        _overwrite_epoch,
+        _read_or_empty,
+    )
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, [11, 22])], "doc_id long, shingle_set array<bigint>"
+    ).write.parquet(base)  # pre-epoch layout: no batch_id anywhere
+    _overwrite_epoch(
+        spark.createDataFrame(
+            [(2, [33, 44])], "doc_id long, shingle_set array<bigint>"
+        ),
+        0,
+        base,
+    )  # first epoch write into the SAME dir → mixed layout
+
+    # before=1 sees both: legacy row as epoch -1, epoch-0 row as 0 < 1
+    got = {r.doc_id for r in _read_or_empty(spark, base, _BASE_SCHEMA, before=1).collect()}
+    assert got == {1, 2}
+    # before=0 sees only the legacy row (epoch 0 is not earlier than 0)
+    got0 = {r.doc_id for r in _read_or_empty(spark, base, _BASE_SCHEMA, before=0).collect()}
+    assert got0 == {1}
+    # unfiltered read sees everything
+    assert {r.doc_id for r in _read_or_empty(spark, base, _BASE_SCHEMA).collect()} == {1, 2}
