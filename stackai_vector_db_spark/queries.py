@@ -1010,20 +1010,33 @@ _PQ_ARTIFACTS: dict = {}
 def _pq_artifacts(spark: SparkSession, sf_dir: str, m: int = 8, n_codes: int = 64,
                   seed: int = 42):
     """Trained codebooks + encoded codes are BUILD artifacts, not query-time
-    work — a real deployment persists them next to the table version
-    (pq.codebooks_to_df exists for exactly that) and every search re-reads
-    them. Train/encode once per (session, table, params) and share across
-    the PQ queries; the codes cache is M ints/row — caching it IS the PQ
-    layout. Deterministic (seeded train, id-hash sample), so sharing never
-    changes results."""
+    work — a real deployment persists them next to the table version and
+    every search re-reads them. The persisted form (plans/pq_index.py,
+    committed per fixture SF) is the PRIMARY source: both the Spark query
+    and the DuckDB oracle read the same parquet bytes, which is what makes
+    the PQ family hash-checkable. A corpus with no artifact yet builds
+    deterministically (seeded train, id-hash sample) and persists; either
+    way the codes cache is M ints/row — caching it IS the PQ layout."""
     from stackai_vector_db_spark.operators import pq as pq_ops
+    from stackai_vector_db_spark.plans import pq_index
 
     key = (spark.sparkContext.applicationId, sf_dir, m, n_codes, seed)
     if key not in _PQ_ARTIFACTS:
-        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        codebooks = pq_ops.train_pq(emb, m=m, n_codes=n_codes, seed=seed)
-        codes = pq_ops.encode_pq(emb, codebooks).cache()
-        codes.count()  # eager fill — two queries reference this subtree
+        ckey = pq_index.corpus_key(spark, sf_dir)
+        loaded = pq_index.load_pq_index(spark, ckey, "raw")
+        if loaded is None:
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            codebooks = pq_ops.train_pq(emb, m=m, n_codes=n_codes, seed=seed)
+            codes = pq_ops.encode_pq(emb, codebooks)
+            pq_index.write_pq_index(
+                ckey, pq_ops.codebooks_to_df(spark, codebooks), codes, "raw"
+            )
+            loaded = pq_index.load_pq_index(spark, ckey, "raw")
+        codebooks, codes = loaded
+        codes = codes.cache()
+        codes.count()  # eager fill — several queries reference this subtree
         _PQ_ARTIFACTS[key] = (codebooks, codes)
     return _PQ_ARTIFACTS[key]
 
@@ -1071,97 +1084,290 @@ def _ivf_pq_coded(spark: SparkSession, sf_dir: str):
     return _IVF_ARTIFACTS[key]
 
 
-@register("q_pq_adc_topk", oracle=None)  # ⚠ rows-only: trained codebooks are not SQL
+# --- DuckDB oracle fragments for the PQ family --------------------------
+# The oracle replays the ADC ranking arithmetic over the PERSISTED
+# codebook/code artifacts (plans/pq_index.py) — the same parquet bytes the
+# Spark queries load — which is what makes seeded-numpy-trained indexes
+# hash-checkable: the training stays non-SQL, its stored output is plain
+# table math.
+
+def _dk_pq_art(variant: str, kind: str, cols: str) -> str:
+    from stackai_vector_db_spark.plans.pq_index import glob_for
+
+    key = (
+        "(SELECT count(*) FROM embeddings) * 1000000000 + "
+        "(SELECT count(*) FROM orders)"
+    )
+    return (
+        f"SELECT {cols} FROM read_parquet('{glob_for(variant, kind)}') "
+        f"WHERE key = {key}"
+    )
+
+
+PQ_NQ = 4  # ADC/refine query set: the 4 smallest vec_ids
+
+# per-query M×K lookup table of exact subspace squared distances, as SQL:
+# qvec slice [sub·d_sub+1 .. (sub+1)·d_sub] vs each codebook centroid
+_DK_PQ_LUT = """
+    lut AS (
+      SELECT q.qid, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               i -> power(q.qvec[cb.sub * len(cb.centroid) + i]::DOUBLE
+                          - cb.centroid[i], 2))) AS d2
+      FROM q, cb),
+    cdx AS (
+      SELECT vec_id, generate_subscripts(codes, 1) - 1 AS sub,
+             unnest(codes) AS code
+      FROM cd)
+"""
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS ({_dk_pq_art('raw', 'codebooks', 'sub, code, centroid')}),
+    cd AS ({_dk_pq_art('raw', 'codes', 'vec_id, codes')}),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          ORDER BY vec_id LIMIT {PQ_NQ}),
+    {_DK_PQ_LUT},
+    scored AS (
+      SELECT l.qid, x.vec_id, round(sqrt(sum(l.d2)), 6) AS dist
+      FROM cdx x JOIN lut l ON l.sub = x.sub AND l.code = x.code
+      GROUP BY l.qid, x.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= 10
+    """,
+)
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (no reference counterpart): product-quantized ANN via
     asymmetric distance computation — 32× vector compression (m=8 int8
-    codes for dim-64 float32), codes-only scan at query time. Deterministic
-    end-to-end (seeded train, id tie-breaks) so the rows-only check is
-    stable; recall vs exact kNN is tested in tests/test_pq.py."""
+    codes for dim-64 float32), codes-only scan at query time. Hash-checked
+    against a DuckDB replay of the ADC math over the persisted
+    codes/codebook artifacts; recall vs exact kNN in tests/test_pq.py."""
     from stackai_vector_db_spark.operators import pq as pq_ops
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebooks, codes = _pq_artifacts(spark, sf_dir)
-    qrows = emb.orderBy("vec_id").limit(4).collect()
+    qrows = emb.orderBy("vec_id").limit(PQ_NQ).collect()
     q = spark.createDataFrame(
         [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
     )
-    return pq_ops.adc_topk(q, codes, codebooks, k=10)
-
-
-@register("q_pq_refine_topk", oracle=None)  # ⚠ rows-only: codebooks are not SQL
-def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension: PQ shortlist + exact re-rank (FAISS IVFADC+refine
-    pattern). ADC produces a 50-deep candidate shortlist from the
-    codes-only scan; only those rows hydrate their raw vectors for exact
-    euclidean ranking — quantization error affects shortlist membership,
-    never final order. Deterministic end-to-end (seeded train, id
-    tie-breaks); recall floors in tests/test_pq.py."""
-    from stackai_vector_db_spark.operators import pq as pq_ops
-    from stackai_vector_db_spark.operators.knn import rerank_exact
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    codebooks, codes = _pq_artifacts(spark, sf_dir)
-    qrows = emb.orderBy("vec_id").limit(4).collect()
-    q = spark.createDataFrame(
-        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    return pq_ops.adc_topk(q, codes, codebooks, k=10).withColumnRenamed(
+        "rank", "rnk"
     )
-    shortlist = pq_ops.adc_topk(q, codes, codebooks, k=PQ_REFINE_SHORTLIST)
-    return rerank_exact(shortlist, emb, q, k=10)
 
 
 PQ_REFINE_SHORTLIST = 50
 
 
-@register("q_ivf_pq_topk", oracle=None)  # ⚠ rows-only: trained codebooks are not SQL
+@register(
+    "q_pq_refine_topk",
+    oracle=f"""
+    WITH cb AS ({_dk_pq_art('raw', 'codebooks', 'sub, code, centroid')}),
+    cd AS ({_dk_pq_art('raw', 'codes', 'vec_id, codes')}),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          ORDER BY vec_id LIMIT {PQ_NQ}),
+    {_DK_PQ_LUT},
+    adc AS (
+      SELECT l.qid, x.vec_id, round(sqrt(sum(l.d2)), 6) AS dist
+      FROM cdx x JOIN lut l ON l.sub = x.sub AND l.code = x.code
+      GROUP BY l.qid, x.vec_id),
+    short AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+        FROM adc) WHERE rn <= {PQ_REFINE_SHORTLIST}),
+    ex AS (
+      SELECT s.qid, s.vec_id,
+             {_dk_euclid('q.qvec', 'e.embedding')} AS dist
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN q ON q.qid = s.qid),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM ex)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: PQ shortlist + exact re-rank (FAISS IVFADC+refine
+    pattern). ADC produces a {PQ_REFINE_SHORTLIST}-deep candidate shortlist
+    from the codes-only scan; only those rows hydrate their raw vectors for
+    exact euclidean ranking — quantization error affects shortlist
+    membership, never final order. Hash-checked: the oracle replays both
+    stages over the persisted artifacts; recall floors in tests/test_pq.py."""
+    from stackai_vector_db_spark.operators import pq as pq_ops
+    from stackai_vector_db_spark.operators.knn import rerank_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebooks, codes = _pq_artifacts(spark, sf_dir)
+    qrows = emb.orderBy("vec_id").limit(PQ_NQ).collect()
+    q = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
+    )
+    shortlist = pq_ops.adc_topk(q, codes, codebooks, k=PQ_REFINE_SHORTLIST)
+    return rerank_exact(shortlist, emb, q, k=10).withColumnRenamed("rank", "rnk")
+
+
+@register(
+    "q_ivf_pq_topk",
+    oracle=f"""
+    WITH {_DK_CENTROIDS},
+    cb AS ({_dk_pq_art('raw', 'codebooks', 'sub, code, centroid')}),
+    cd AS ({_dk_pq_art('raw', 'codes', 'vec_id, codes')}),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id < {KNN_NQ}),
+    {_DK_PQ_LUT},
+    probe_d AS (
+      SELECT q.qid, c.cluster_id,
+             round(sqrt(sum(power(q.qvec[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM q, cvals c GROUP BY q.qid, c.cluster_id),
+    probes AS (
+      SELECT qid, cluster_id FROM (
+        SELECT qid, cluster_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, cluster_id) AS rn
+        FROM probe_d) WHERE rn <= {IVF_NPROBE}),
+    asg_d AS (
+      SELECT e.vec_id, c.cluster_id,
+             round(sqrt(sum(power(e.embedding[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM embeddings e, cvals c GROUP BY e.vec_id, c.cluster_id),
+    assigned AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+        FROM asg_d) WHERE rn = 1),
+    scored AS (
+      SELECT p.qid, x.vec_id, round(sqrt(sum(l.d2)), 6) AS dist
+      FROM cdx x
+      JOIN assigned a ON a.vec_id = x.vec_id
+      JOIN probes p ON p.cluster_id = a.cluster_id
+      JOIN lut l ON l.qid = p.qid AND l.sub = x.sub AND l.code = x.code
+      GROUP BY p.qid, x.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= {KNN_K}
+    """,
+)
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: IVF-PQ — probe-pruned candidates (deterministic label-mean
     centroids) ranked by ADC over PQ codes. The billion-scale layout:
-    (nprobe/C)·N rows × M bytes each, no float vector read at query time."""
+    (nprobe/C)·N rows × M bytes each, no float vector read at query time.
+    Hash-checked: probe selection, argmin assignment and ADC ranking all
+    replay in the oracle over the persisted artifacts."""
     from stackai_vector_db_spark.operators import pq as pq_ops
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     codebooks, _ = _pq_artifacts(spark, sf_dir)
     cents, coded = _ivf_pq_coded(spark, sf_dir)
     return pq_ops.ivf_pq_search(
-        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=2
-    )
+        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=IVF_NPROBE
+    ).withColumnRenamed("rank", "rnk")
 
 
 def _ivf_pq_residual_artifacts(spark: SparkSession, sf_dir: str):
     """Residual (IVFADC) codebooks + coded table — the second stored
-    IVF-PQ layout variant, built once per (session, table) like the raw
-    one. Deterministic (seeded train over zip_with residuals)."""
+    IVF-PQ layout variant. Like ``_pq_artifacts``, the persisted parquet
+    form (``residual`` variant, cluster_id included — the assignment is
+    part of this layout) is primary so the DuckDB oracle replays the same
+    bytes; missing corpora build deterministically (seeded train over
+    zip_with residuals) and persist."""
     from stackai_vector_db_spark.operators import pq as pq_ops
+    from stackai_vector_db_spark.plans import pq_index
 
     key = (spark.sparkContext.applicationId, sf_dir, "ivf_pq_residual")
     if key not in _IVF_ARTIFACTS:
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", "label"
-        )
         cents = _ivf_centroids(spark, sf_dir)
-        codebooks, coded = pq_ops.ivf_pq_residual_build(
-            emb, cents, m=8, n_codes=64, seed=42
-        )
+        ckey = pq_index.corpus_key(spark, sf_dir)
+        loaded = pq_index.load_pq_index(spark, ckey, "residual")
+        if loaded is None:
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding", "label"
+            )
+            codebooks, coded = pq_ops.ivf_pq_residual_build(
+                emb, cents, m=8, n_codes=64, seed=42
+            )
+            pq_index.write_pq_index(
+                ckey, pq_ops.codebooks_to_df(spark, codebooks), coded, "residual"
+            )
+            loaded = pq_index.load_pq_index(spark, ckey, "residual")
+        codebooks, coded = loaded
+        coded = coded.cache()
+        coded.count()
         _IVF_ARTIFACTS[key] = (cents, codebooks, coded)
     return _IVF_ARTIFACTS[key]
 
 
-@register("q_ivf_pq_residual_topk", oracle=None)  # ⚠ rows-only: trained codebooks
+@register(
+    "q_ivf_pq_residual_topk",
+    oracle=f"""
+    WITH {_DK_CENTROIDS},
+    cbr AS ({_dk_pq_art('residual', 'codebooks', 'sub, code, centroid')}),
+    cdr AS ({_dk_pq_art('residual', 'codes', 'vec_id, codes, cluster_id')}),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id < {KNN_NQ}),
+    probe_d AS (
+      SELECT q.qid, c.cluster_id,
+             round(sqrt(sum(power(q.qvec[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM q, cvals c GROUP BY q.qid, c.cluster_id),
+    probes AS (
+      SELECT qid, cluster_id FROM (
+        SELECT qid, cluster_id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, cluster_id) AS rn
+        FROM probe_d) WHERE rn <= {IVF_NPROBE}),
+    rq AS (
+      -- the query's residual in each probed cluster's frame
+      SELECT p.qid, p.cluster_id,
+             list(q.qvec[c.pos]::DOUBLE - c.mean_val ORDER BY c.pos) AS rv
+      FROM probes p
+      JOIN q ON q.qid = p.qid
+      JOIN cvals c ON c.cluster_id = p.cluster_id
+      GROUP BY p.qid, p.cluster_id),
+    lutr AS (
+      SELECT rq.qid, rq.cluster_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, len(cb.centroid) + 1),
+               i -> power(rq.rv[cb.sub * len(cb.centroid) + i]
+                          - cb.centroid[i], 2))) AS d2
+      FROM rq, cbr cb),
+    cdrx AS (
+      SELECT vec_id, cluster_id, generate_subscripts(codes, 1) - 1 AS sub,
+             unnest(codes) AS code
+      FROM cdr),
+    scored AS (
+      SELECT l.qid, x.vec_id, round(sqrt(sum(l.d2)), 6) AS dist
+      FROM cdrx x
+      JOIN lutr l ON l.cluster_id = x.cluster_id AND l.sub = x.sub
+                 AND l.code = x.code
+      GROUP BY l.qid, x.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, dist, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= {KNN_K}
+    """,
+)
 def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: residual IVF-PQ (the FAISS IVFADC layout) — PQ codes over
     ``vector − coarse centroid``, ADC lookup tables per probed (query,
     cluster) pair. Same storage/query cost as q_ivf_pq_topk; quantization
     error tracks within-cluster variance (see
-    operators/pq.py:ivf_pq_residual_build). Deterministic end-to-end;
-    exactness property tested in tests/test_pq.py."""
+    operators/pq.py:ivf_pq_residual_build). Hash-checked: the oracle
+    rebuilds the per-(query, cluster) residual LUTs from the round-9
+    centroid means and the persisted residual codebooks, then replays the
+    ranking over the persisted codes (assignment included in the artifact —
+    it is part of the stored layout)."""
     from stackai_vector_db_spark.operators import pq as pq_ops
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     cents, codebooks, coded = _ivf_pq_residual_artifacts(spark, sf_dir)
     return pq_ops.ivf_pq_residual_search(
-        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=2
-    )
+        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=IVF_NPROBE
+    ).withColumnRenamed("rank", "rnk")
 
 
 # ---------------------------------------------------------------------------

@@ -270,3 +270,43 @@ def test_rerank_exact_refine(spark, emb, codebooks):
     assert recall_at_k(refined, exact, 10) >= recall_at_k(
         adc_topk(q, codes, codebooks, k=10), exact, 10
     )
+
+
+def test_committed_artifacts_match_deterministic_rebuild(spark, emb):
+    """The committed artifacts under artifacts/pq/ are the bytes BOTH the
+    Spark queries and the DuckDB oracles consume — this pins them to what
+    the current train/encode code produces, so a codebook-affecting change
+    fails here instead of as a silent oracle drift."""
+    from stackai_vector_db_spark.plans import pq_index
+
+    key = pq_index.corpus_key(spark, SF_DIR)
+    loaded = pq_index.load_pq_index(spark, key, "raw")
+    assert loaded is not None, "fixture artifacts missing — rebuild and commit"
+    art_cb, art_codes = loaded
+
+    cb = train_pq(emb, m=8, n_codes=64, seed=42)
+    assert np.array_equal(cb, art_cb)
+    codes = encode_pq(emb, cb)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    want = {r["vec_id"]: list(r["codes"]) for r in art_codes.collect()}
+    assert got == want
+
+    # residual variant: codebooks + coded(vec_id, codes, cluster_id)
+    from stackai_vector_db_spark.operators.ivf import label_mean_centroids
+    from stackai_vector_db_spark.operators.pq import ivf_pq_residual_build
+
+    res = pq_index.load_pq_index(spark, key, "residual")
+    assert res is not None
+    art_rcb, art_coded = res
+    full = load_table(spark, SF_DIR, "embeddings")
+    cents = label_mean_centroids(full)
+    rcb, coded = ivf_pq_residual_build(full, cents, m=8, n_codes=64, seed=42)
+    assert np.array_equal(rcb, art_rcb)
+    got_r = {
+        r["vec_id"]: (list(r["codes"]), r["cluster_id"]) for r in coded.collect()
+    }
+    want_r = {
+        r["vec_id"]: (list(r["codes"]), r["cluster_id"])
+        for r in art_coded.collect()
+    }
+    assert got_r == want_r

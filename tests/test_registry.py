@@ -13,10 +13,10 @@ from stackai_vector_db_spark.queries import REGISTRY, SWEEP_ORDER, _ordered
 ROWS_ONLY_ALLOWED = {
     "q_approx_distinct",        # HLL sketch vs exact count
     "q_kmeans_build",           # MLlib kmeans|| init != any SQL-expressible seed
-    "q_pq_adc_topk",            # codebooks from seeded numpy Lloyd
-    "q_ivf_pq_topk",            # same codebooks
-    "q_ivf_pq_residual_topk",   # residual codebooks, same reason
-    "q_pq_refine_topk",         # ADC shortlist (same codebooks) + exact refine
+    # The PQ family (adc/refine/ivf_pq/residual) was promoted to
+    # hash-checked in round 5: training stays seeded-numpy, but the
+    # oracle replays the ranking math over the PERSISTED codebook/code
+    # artifacts (plans/pq_index.py).
 }
 
 
