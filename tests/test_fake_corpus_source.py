@@ -43,8 +43,6 @@ def test_streaming_reader_matches_batch(spark, tmp_path):
         .option("batch_size", 50)
         .load()
     )
-    import time
-
     q = (
         stream.writeStream.format("memory")
         .queryName("t_corpus_stream")
@@ -53,13 +51,11 @@ def test_streaming_reader_matches_batch(spark, tmp_path):
         .trigger(processingTime="1 seconds")
         .start()
     )
-    # a simple stream reader advances one offset-window per trigger; poll
-    # until the bounded stream (n=120) has fully drained, then stop.
-    deadline = time.time() + 60
-    while time.time() < deadline:
-        if spark.table("t_corpus_stream").count() >= 120:
-            break
-        time.sleep(0.5)
+    # The stream is bounded (n=120): once the offset reaches the limit,
+    # read() returns an empty window and the offset stops advancing, so
+    # processAllAvailable() terminates exactly when the stream has drained.
+    # (A wall-clock poll here was flaky under heavy parallel-suite load.)
+    q.processAllAvailable()
     q.stop()
     got = sorted(map(tuple, spark.table("t_corpus_stream").collect()))
     want = sorted(
