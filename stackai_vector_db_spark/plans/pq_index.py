@@ -76,6 +76,26 @@ def write_pq_index(
     ).parquet(_dir_for(key, variant, "codes"))
 
 
+def write_table_artifact(
+    key: int, df: DataFrame, variant: str, kind: str
+) -> None:
+    """Persist a single artifact table (e.g. trained k-means centroids)
+    under the same key layout as the PQ pairs, so the DuckDB oracle can
+    replay math over the exact bytes the Spark query reads."""
+    df.withColumn("key", F.lit(key)).coalesce(1).write.mode("overwrite").parquet(
+        _dir_for(key, variant, kind)
+    )
+
+
+def load_table_artifact(
+    spark: SparkSession, key: int, variant: str, kind: str
+) -> DataFrame | None:
+    d = _dir_for(key, variant, kind)
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).drop("key")
+
+
 def load_pq_index(
     spark: SparkSession, key: int, variant: str = "raw"
 ) -> tuple[np.ndarray, DataFrame] | None:

@@ -993,13 +993,76 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_kmeans_build", oracle=None)  # ⚠ rows-only: k-means‖ init ≠ reference seed
+def _dk_pq_art(variant: str, kind: str, cols: str) -> str:
+    """DuckDB-side read of a persisted index artifact: glob over every
+    committed key dir, filtered to this corpus's fingerprint (the SQL twin
+    of plans/pq_index.corpus_key)."""
+    from stackai_vector_db_spark.plans.pq_index import glob_for
+
+    key = (
+        "(SELECT count(*) FROM embeddings) * 1000000000 + "
+        "(SELECT count(*) FROM orders)"
+    )
+    return (
+        f"SELECT {cols} FROM read_parquet('{glob_for(variant, kind)}') "
+        f"WHERE key = {key}"
+    )
+
+
+def _kmeans_artifact_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means centroids as a persisted artifact (the stored IVF
+    index of the reference, app/indexes/ivf.py:88-130): artifact primary,
+    deterministic MLlib retrain + persist when a corpus has none yet —
+    the same promotion pattern that made the PQ family hash-checkable."""
+    from stackai_vector_db_spark.plans import pq_index
+
+    key_t = (spark.sparkContext.applicationId, sf_dir, "kmeans_cents")
+    if key_t not in _IVF_ARTIFACTS:
+        ckey = pq_index.corpus_key(spark, sf_dir)
+        cents = pq_index.load_table_artifact(spark, ckey, "kmeans", "centroids")
+        if cents is None:
+            emb = load_table(spark, sf_dir, "embeddings")
+            cents = ivf_ops.kmeans_centroids(emb, n_clusters=10)
+            pq_index.write_table_artifact(ckey, cents, "kmeans", "centroids")
+            cents = pq_index.load_table_artifact(spark, ckey, "kmeans", "centroids")
+        cents = cents.cache()
+        cents.count()  # tiny (10 rows)
+        _IVF_ARTIFACTS[key_t] = cents
+    return _IVF_ARTIFACTS[key_t]
+
+
+@register(
+    "q_kmeans_build",
+    oracle=f"""
+    WITH kc AS ({_dk_pq_art('kmeans', 'centroids', 'cluster_id, centroid')}),
+    kvals AS (
+      SELECT cluster_id, generate_subscripts(centroid, 1) AS pos,
+             unnest(centroid)::DOUBLE AS mean_val
+      FROM kc),
+    dists AS (
+      SELECT e.vec_id, c.cluster_id,
+             round(sqrt(sum(power(e.embedding[c.pos]::DOUBLE - c.mean_val, 2))), 6) AS dist
+      FROM embeddings e, kvals c
+      GROUP BY e.vec_id, c.cluster_id),
+    ranked AS (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+      FROM dists)
+    SELECT cluster_id, count(*)::BIGINT AS n
+    FROM ranked WHERE rn = 1 GROUP BY cluster_id
+    """,
+)
 def q_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: IVF build via MLlib KMeans(seed=42, maxIter=50, tol=1e-6)
-    mirroring ivf.py:88-130; output = cluster sizes (never hash centroid
-    values — SURVEY.md §7.3)."""
+    mirroring ivf.py:88-130; output = integer cluster sizes of the
+    nearest-centroid assignment. Hash-checked since round 5: the trained
+    centroids are a persisted artifact (plans/pq_index.py) both engines
+    read, the assignment argmin is the already-proven q_assign_centroid
+    math, and counts are integers — so the check never hashes raw centroid
+    floats (SURVEY.md §7.3's caveat was about cross-engine *training*, not
+    assignment over pinned bytes)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_ops.kmeans_centroids(emb, n_clusters=10)
+    cents = _kmeans_artifact_centroids(spark, sf_dir)
     assigned = ivf_ops.assign_clusters(emb, cents)
     return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
 
@@ -1090,19 +1153,6 @@ def _ivf_pq_coded(spark: SparkSession, sf_dir: str):
 # Spark queries load — which is what makes seeded-numpy-trained indexes
 # hash-checkable: the training stays non-SQL, its stored output is plain
 # table math.
-
-def _dk_pq_art(variant: str, kind: str, cols: str) -> str:
-    from stackai_vector_db_spark.plans.pq_index import glob_for
-
-    key = (
-        "(SELECT count(*) FROM embeddings) * 1000000000 + "
-        "(SELECT count(*) FROM orders)"
-    )
-    return (
-        f"SELECT {cols} FROM read_parquet('{glob_for(variant, kind)}') "
-        f"WHERE key = {key}"
-    )
-
 
 PQ_NQ = 4  # ADC/refine query set: the 4 smallest vec_ids
 
@@ -3510,13 +3560,14 @@ SWEEP_ORDER = [
     "q_events_tumbling", "q_events_session",
     # --- 31-50: newly hash-promoted + changed oracles, then §2 core ---
     "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_topk",
-    "q_ivf_pq_residual_topk", "q_domain_mix", "q_knn_brute_topk",
-    "q_knn_window_rank", "q_scan_project", "q_point_lookup", "q_filter_fk",
+    "q_ivf_pq_residual_topk", "q_kmeans_build", "q_domain_mix",
+    "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
+    "q_point_lookup", "q_filter_fk",
     "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
     "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
     "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
-    "q_index_stats",
     # --- past 50: r4-green, next row in a later round's rotation ---
+    "q_index_stats",
     "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
     "q_events_sliding", "q_events_dedup", "q_zorder_box",
     "q_multimodal_features", "q_stratified_sample", "q_join_hits_chunks",
@@ -3524,7 +3575,7 @@ SWEEP_ORDER = [
     "q_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_cosine",
     "q_dedup_incremental", "q_dedup_embed_incremental",
     "q_assign_centroid", "q_ivf_probe_topk", "q_corpus_pipeline",
-    "q_knn_graph", "q_dedup_components", "q_kmeans_build",
+    "q_knn_graph", "q_dedup_components",
     "q_curation_e2e", "q_repetition_stats", "q_dim_check", "q_pagination",
     "q_sample_hash", "q_except_deleted",
 ]

@@ -192,3 +192,37 @@ def test_probe_arrow_matches_declarative(spark):
                 .collect()
             }
             assert a == b, (metric, nprobe)
+
+
+def test_kmeans_artifact_matches_deterministic_rebuild(spark):
+    """The committed kmeans-centroid artifact (artifacts/pq/*/kmeans_centroids)
+    is what both the Spark q_kmeans_build query and its DuckDB oracle read;
+    this pins it to what the current MLlib train produces, so a
+    training-affecting change fails here instead of as silent oracle drift.
+    Tolerance instead of byte-equality: MLlib's treeAggregate reduction
+    order is not contractual, but the cluster STRUCTURE (sizes under
+    nearest-centroid assignment) must be identical."""
+    import numpy as np
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.operators.ivf import assign_clusters
+    from stackai_vector_db_spark.plans import pq_index
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = pq_index.corpus_key(spark, sf_dir)
+    art = pq_index.load_table_artifact(spark, key, "kmeans", "centroids")
+    assert art is not None, "kmeans artifact missing — rebuild and commit"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fresh = kmeans_centroids(emb, n_clusters=10)
+
+    a = {r["cluster_id"]: np.array(r["centroid"]) for r in art.collect()}
+    b = {r["cluster_id"]: np.array(r["centroid"]) for r in fresh.collect()}
+    assert a.keys() == b.keys()
+    assert all(np.allclose(a[c], b[c], atol=1e-6) for c in a)
+
+    def sizes(cents):
+        out = assign_clusters(emb, cents).groupBy("cluster_id").count()
+        return {r["cluster_id"]: r["count"] for r in out.collect()}
+
+    assert sizes(art) == sizes(fresh)

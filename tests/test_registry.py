@@ -11,12 +11,13 @@ from stackai_vector_db_spark.queries import REGISTRY, SWEEP_ORDER, _ordered
 # Every id here is rows-only BY DESIGN (non-SQL-expressible) and documented
 # at its @register site; anything else must carry a DuckDB oracle.
 ROWS_ONLY_ALLOWED = {
-    "q_approx_distinct",        # HLL sketch vs exact count
-    "q_kmeans_build",           # MLlib kmeans|| init != any SQL-expressible seed
+    "q_approx_distinct",        # HLL sketch vs exact count — genuinely engine-specific
     # The PQ family (adc/refine/ivf_pq/residual) was promoted to
     # hash-checked in round 5: training stays seeded-numpy, but the
     # oracle replays the ranking math over the PERSISTED codebook/code
-    # artifacts (plans/pq_index.py).
+    # artifacts (plans/pq_index.py). q_kmeans_build followed in the same
+    # round: persisted MLlib centroids + the proven assignment argmin +
+    # integer cluster sizes.
 }
 
 
