@@ -81,7 +81,18 @@ def main() -> None:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
 
-    results = {}
+    import sys as _sys
+
+    class _Progress(dict):
+        """Print each metric as it lands (stderr) — a probe that dies
+        mid-run (e.g. OOM at a bigger N) still reports every completed
+        phase instead of losing the whole run."""
+
+        def __setitem__(self, key, value):
+            print(f"PROBE {key}={value}", file=_sys.stderr, flush=True)
+            super().__setitem__(key, value)
+
+    results = _Progress()
     exact = None
     for strategy in ("window", "prereduce"):
         t0 = time.perf_counter()
