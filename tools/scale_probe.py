@@ -173,15 +173,20 @@ def main() -> None:
     adc_out = adc_topk(q, codes, cb, k)
     results["pq_adc_recall"] = recall(adc_out)
     results["pq_adc_s"] = round(time.perf_counter() - t0, 3)
-    # Refine stage (FAISS IVFADC+refine): exact re-rank of a 100-deep ADC
-    # shortlist — quantization error then only affects shortlist membership.
+    # Refine stage (FAISS IVFADC+refine): exact re-rank of an ADC
+    # shortlist — quantization error then only affects shortlist
+    # membership. Depth follows the measured knee (tools/refine_sweep.py:
+    # recall saturates at ~0.1% of the corpus), so the probe demonstrates
+    # the operating rule instead of a fixed depth that starves at bigger N.
     from stackai_vector_db_spark.operators.knn import rerank_exact
 
+    refine_depth = max(100, n // 1000)
     t0 = time.perf_counter()
-    shortlist = adc_topk(q, codes, cb, k=100)
+    shortlist = adc_topk(q, codes, cb, k=refine_depth)
     refined = rerank_exact(shortlist, vecs, q, k)
     results["pq_refine_recall"] = recall(refined)
     results["pq_refine_s"] = round(time.perf_counter() - t0, 3)
+    results["pq_refine_depth"] = refine_depth
 
     coded = codes.join(assigned.select("vec_id", "cluster_id"), "vec_id").persist()
     coded.count()
