@@ -226,3 +226,35 @@ def test_kmeans_artifact_matches_deterministic_rebuild(spark):
         return {r["cluster_id"]: r["count"] for r in out.collect()}
 
     assert sizes(art) == sizes(fresh)
+
+
+def test_knn_join_query_chunk_boundary(spark):
+    """The block kernel chunks its query loop (1024-row slices) so a
+    skew-concentrated group can't materialize an unbounded distance
+    matrix. Fixture groups are far smaller than one chunk, so this test
+    forces >2 chunks through a single cluster (all 2,500 queries probe
+    the one populated cluster) and checks the result equals brute force —
+    guarding the qi = chunk_offset + row index arithmetic at boundaries."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.operators.ivf import knn_join
+    from stackai_vector_db_spark.operators.knn import brute_force_topk
+    from tools.scale_probe import synth_vectors
+
+    vecs = synth_vectors(spark, 2_500, 8, 4, mode="uniform").drop("label")
+    assigned = vecs.select("vec_id", "embedding", F.lit(0).alias("cluster_id"))
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 8)], "cluster_id int, centroid array<double>"
+    )
+    q = vecs.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    graph = knn_join(q, assigned, cents, k=3, nprobe=1, exclude_self=True)
+    rows = graph.collect()
+    assert len(rows) == 2_500 * 3
+    brute = brute_force_topk(q, vecs, k=4)  # k+1: strip self, keep 3
+    want = {
+        (r["qid"], r["vec_id"], r["dist"])
+        for r in brute.collect()
+        if r["qid"] != r["vec_id"]
+    }
+    got = {(r["qid"], r["vec_id"], r["dist"]) for r in rows}
+    assert got <= want and len(got) == len(rows)
