@@ -40,11 +40,15 @@ def test_rows_only_set_is_closed():
 def test_unproven_ids_lead_the_sweep():
     """The driver records at most 50 correctness rows per round; the ids
     whose latest driver row is OLDEST must sit inside the budget (proof
-    freshness — no id's row should be more than one round stale). Reads
-    the LATEST CORRECTNESS_r*.json so the assertion tracks rounds instead
-    of pinning one (the r4-judge wart: a hardcoded r03 path silently
-    approved a stale ordering). If this fails after editing SWEEP_ORDER,
-    re-read the ordering comment above it."""
+    freshness — no id's row should be more than one round stale). "One
+    round stale" means every id appears in the UNION of the last TWO
+    CORRECTNESS_r*.json files — checking only the newest file would go
+    red the instant the driver emits a round file (it contains exactly
+    the top-50, so every rotated-out id would "fail" despite having a
+    one-round-old row). Globbing (not a pinned path) tracks rounds — the
+    r4-judge wart was a hardcoded r03 that silently approved a stale
+    ordering. If this fails after editing SWEEP_ORDER, rotate the ids it
+    names into the top 50."""
     import glob
     import json
     import os
@@ -53,11 +57,14 @@ def test_unproven_ids_lead_the_sweep():
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if not files:
         return
-    with open(files[-1]) as f:
-        latest = set(json.load(f))
+    fresh: set = set()
+    for path in files[-2:]:
+        with open(path) as f:
+            fresh |= set(json.load(f))
     top50 = set(SWEEP_ORDER[:50])
-    missing = [q for q in SWEEP_ORDER if q not in latest and q not in top50]
+    missing = [q for q in SWEEP_ORDER if q not in fresh and q not in top50]
     assert not missing, (
-        f"ids lacking a row in {os.path.basename(files[-1])} sit past the "
+        f"ids with no row in the last two correctness files "
+        f"({[os.path.basename(p) for p in files[-2:]]}) sit past the "
         f"50-row budget: {missing}"
     )
