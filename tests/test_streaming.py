@@ -607,3 +607,85 @@ def test_epoch_state_reader_mixed_layout_keeps_legacy_rows(spark, tmp_path):
     assert got0 == {1}
     # unfiltered read sees everything
     assert {r.doc_id for r in _read_or_empty(spark, base, _BASE_SCHEMA).collect()} == {1, 2}
+
+
+def test_dedup_stream_crash_mid_epoch_replays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Mirror of the curation crash-replay test for the dedup-at-ingest
+    gate: kill the stream after epoch 1's PAIRS partition is written but
+    before its index (base/banded) writes — the worst half-state, since a
+    non-idempotent replay would double-emit every epoch-1 pair — then
+    restart from the checkpoint and assert outputs equal a never-crashed
+    run. Same reference contract: snapshot atomicity
+    (index_service.py:270-283) as epoch-idempotent writes."""
+    import stackai_vector_db_spark.streaming.dedup as sd
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    wave1 = d
+    wave2 = copies  # near-dups of wave1 → epoch-1 pairs exist
+
+    def run(tag, docs_dir, crash):
+        idx = str(tmp_path / tag / "index")
+        pairs = str(tmp_path / tag / "pairs")
+        ckpt = str(tmp_path / tag / "ckpt")
+        real = sd._overwrite_epoch
+
+        def failing(df, bid, path):
+            if bid == 1 and path.endswith("/base"):
+                raise RuntimeError("injected crash mid-epoch 1")
+            real(df, bid, path)
+
+        if crash:
+            monkeypatch.setattr(sd, "_overwrite_epoch", failing)
+            try:
+                sd.dedup_ingest_stream(
+                    spark, docs_dir, idx, pairs,
+                    max_files_per_trigger=1, checkpoint_dir=ckpt,
+                )
+                raise AssertionError("stream should have crashed mid-epoch 1")
+            except Exception as e:  # noqa: BLE001 — StreamingQueryException wraps it
+                assert "injected crash" in str(e)
+            finally:
+                monkeypatch.setattr(sd, "_overwrite_epoch", real)
+            # half state: epoch-1 pairs landed, epoch-1 index did not
+            pair_bids = {
+                r.batch_id
+                for r in spark.read.parquet(pairs)
+                .select("batch_id").distinct().collect()
+            }
+            assert 1 in pair_bids
+            base_bids = {
+                r.batch_id
+                for r in spark.read.parquet(idx + "/base")
+                .select("batch_id").distinct().collect()
+            }
+            assert base_bids == {0}
+        sd.dedup_ingest_stream(
+            spark, docs_dir, idx, pairs,
+            max_files_per_trigger=1, checkpoint_dir=ckpt,
+        )
+        got_pairs = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in spark.read.parquet(pairs).collect()
+        )
+        n_base = spark.read.parquet(idx + "/base").count()
+        return got_pairs, n_base
+
+    in_a = str(tmp_path / "a" / "in")
+    in_b = str(tmp_path / "b" / "in")
+    for dd in (in_a, in_b):
+        wave1.coalesce(1).write.mode("append").parquet(dd)
+        wave2.coalesce(1).write.mode("append").parquet(dd)
+
+    crashed = run("a", in_a, crash=True)
+    clean = run("b", in_b, crash=False)
+    assert crashed == clean
+    assert len(crashed[0]) > 0
+    # exactly-once: each (id_a, id_b) pair appears once
+    keys = [(a, b) for a, b, _ in crashed[0]]
+    assert len(keys) == len(set(keys))
