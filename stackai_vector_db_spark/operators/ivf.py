@@ -326,14 +326,17 @@ def knn_join(
         #    whole task. Microseconds amortized against a ~1 s kernel.
         import gc
 
-        _gc_tick[0] += 1
-        if _gc_tick[0] % 8 == 0:
-            gc.collect()
         empty = pd.DataFrame({"qid": [], "vec_id": [], "dist": []}).astype(
             {"qid": "int64", "vec_id": "int64", "dist": "float64"}
         )
         if qpdf.empty or vpdf.empty:
             return empty
+        # tick AFTER the empty guard: in the skew regime ~97% of groups are
+        # empty near-no-ops, and a collect every 8 of those would land on
+        # the fast path instead of amortizing against real kernels.
+        _gc_tick[0] += 1
+        if _gc_tick[0] % 8 == 0:
+            gc.collect()
         qids = qpdf["qid"].to_numpy(dtype=np.int64)
         qmat = np.array(list(qpdf["qvec"]), dtype=np.float64)
         vids = vpdf["vec_id"].to_numpy(dtype=np.int64)

@@ -68,12 +68,8 @@ def write_pq_index(
     variant includes ``cluster_id`` — the assignment IS part of that
     layout).  coalesce(1) is legal here at fixture scale only; the scale
     path writes codes ``partitionBy(cluster_id)`` (operators/pq.py)."""
-    codebooks_df.withColumn("key", F.lit(key)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(_dir_for(key, variant, "codebooks"))
-    codes.withColumn("key", F.lit(key)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(_dir_for(key, variant, "codes"))
+    write_table_artifact(key, codebooks_df, variant, "codebooks")
+    write_table_artifact(key, codes, variant, "codes")
 
 
 def write_table_artifact(
@@ -103,10 +99,8 @@ def load_pq_index(
     or None when this corpus has no artifact yet."""
     from stackai_vector_db_spark.operators.pq import df_to_codebooks
 
-    cb_dir = _dir_for(key, variant, "codebooks")
-    cd_dir = _dir_for(key, variant, "codes")
-    if not (os.path.isdir(cb_dir) and os.path.isdir(cd_dir)):
+    cb_df = load_table_artifact(spark, key, variant, "codebooks")
+    codes = load_table_artifact(spark, key, variant, "codes")
+    if cb_df is None or codes is None:
         return None
-    codebooks = df_to_codebooks(spark.read.parquet(cb_dir).drop("key"))
-    codes = spark.read.parquet(cd_dir).drop("key")
-    return codebooks, codes
+    return df_to_codebooks(cb_df), codes

@@ -55,8 +55,18 @@ def test_streaming_reader_matches_batch(spark, tmp_path):
     # read() returns an empty window and the offset stops advancing, so
     # processAllAvailable() terminates exactly when the stream has drained.
     # (A wall-clock poll here was flaky under heavy parallel-suite load.)
-    q.processAllAvailable()
-    q.stop()
+    # Watchdog: if the bound regresses (e.g. the reader stops clamping to
+    # n), processAllAvailable would block forever — kill the query after a
+    # generous deadline so the test fails visibly instead of hanging CI.
+    import threading
+
+    watchdog = threading.Timer(300, q.stop)
+    watchdog.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        watchdog.cancel()
+        q.stop()
     got = sorted(map(tuple, spark.table("t_corpus_stream").collect()))
     want = sorted(
         map(tuple, spark.read.format("fake_corpus").option("n", 120).load().collect())

@@ -194,15 +194,20 @@ def test_probe_arrow_matches_declarative(spark):
             assert a == b, (metric, nprobe)
 
 
-def test_kmeans_artifact_matches_deterministic_rebuild(spark):
+def test_kmeans_artifact_is_lloyd_fixpoint(spark):
     """The committed kmeans-centroid artifact (artifacts/pq/*/kmeans_centroids)
-    is what both the Spark q_kmeans_build query and its DuckDB oracle read;
-    this pins it to what the current MLlib train produces, so a
-    training-affecting change fails here instead of as silent oracle drift.
-    Tolerance instead of byte-equality: MLlib's treeAggregate reduction
-    order is not contractual, but the cluster STRUCTURE (sizes under
-    nearest-centroid assignment) must be identical."""
+    is what both the Spark q_kmeans_build query and its DuckDB oracle read.
+    Validate it SEMANTICALLY, not by retraining: each stored centroid must
+    equal the mean of the vectors assigned to it — the Lloyd fixpoint
+    condition, which any converged k-means on this corpus satisfies and
+    any corrupted/stale/wrong-corpus artifact does not. (A retrain-and-
+    compare would couple the test to MLlib's kmeans|| init and
+    treeAggregate order, which vary with input partitioning across hosts;
+    the fixpoint check is partition- and machine-independent. Measured
+    deviation of the committed artifacts: ~1e-17 at all three SFs.)"""
     import numpy as np
+
+    from pyspark.sql import functions as F
 
     from stackai_vector_db_spark.catalog import load_table
     from stackai_vector_db_spark.operators.ivf import assign_clusters
@@ -212,20 +217,27 @@ def test_kmeans_artifact_matches_deterministic_rebuild(spark):
     key = pq_index.corpus_key(spark, sf_dir)
     art = pq_index.load_table_artifact(spark, key, "kmeans", "centroids")
     assert art is not None, "kmeans artifact missing — rebuild and commit"
+    rows = art.collect()
+    assert len(rows) == 10 and all(len(r["centroid"]) == 64 for r in rows)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    fresh = kmeans_centroids(emb, n_clusters=10)
-
-    a = {r["cluster_id"]: np.array(r["centroid"]) for r in art.collect()}
-    b = {r["cluster_id"]: np.array(r["centroid"]) for r in fresh.collect()}
-    assert a.keys() == b.keys()
-    assert all(np.allclose(a[c], b[c], atol=1e-6) for c in a)
-
-    def sizes(cents):
-        out = assign_clusters(emb, cents).groupBy("cluster_id").count()
-        return {r["cluster_id"]: r["count"] for r in out.collect()}
-
-    assert sizes(art) == sizes(fresh)
+    assigned = assign_clusters(emb, art).select("vec_id", "cluster_id")
+    means = (
+        emb.join(assigned, "vec_id")
+        .select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg("val").alias("m"))
+    ).collect()
+    mm: dict = {}
+    for r in means:
+        mm.setdefault(r["cluster_id"], {})[r["pos"]] = r["m"]
+    for r in rows:
+        c = np.array(r["centroid"])
+        got = np.array([mm[r["cluster_id"]][i] for i in range(len(c))])
+        assert np.allclose(got, c, atol=1e-9), (
+            f"cluster {r['cluster_id']} is not a Lloyd fixpoint "
+            f"(max dev {np.abs(got - c).max():.3e})"
+        )
 
 
 def test_knn_join_query_chunk_boundary(spark):

@@ -177,10 +177,11 @@ def main() -> None:
     # shortlist — quantization error then only affects shortlist
     # membership. Depth follows the measured knee (tools/refine_sweep.py:
     # recall saturates at ~0.1% of the corpus), so the probe demonstrates
-    # the operating rule instead of a fixed depth that starves at bigger N.
+    # the operating rule (~0.2% of the probed corpus) instead of a fixed
+    # depth that starves at bigger N.
     from stackai_vector_db_spark.operators.knn import rerank_exact
 
-    refine_depth = max(100, n // 1000)
+    refine_depth = max(100, n // 500)  # ~0.2% of corpus (README operating rule)
     t0 = time.perf_counter()
     shortlist = adc_topk(q, codes, cb, k=refine_depth)
     refined = rerank_exact(shortlist, vecs, q, k)
