@@ -1716,6 +1716,50 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span window for cross-doc duplicated-span detection: 8 whitespace tokens.
+# Short enough that the 54-token fixture docs emit ~47 spans each, long
+# enough that a shared span means copied text, not chance n-gram overlap.
+SPAN_WINDOW = 8
+
+
+@register(
+    "q_span_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+    p AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - {SPAN_WINDOW - 2})) AS i
+      FROM w WHERE len(ws) >= {SPAN_WINDOW}),
+    s AS (
+      SELECT doc_id,
+             array_to_string(ws[i::INT : (i + {SPAN_WINDOW - 1})::INT], ' ') AS span
+      FROM p),
+    g AS (SELECT doc_id, span, count(*) AS n_occ FROM s GROUP BY doc_id, span),
+    c AS (SELECT span, count(*) AS nd FROM g GROUP BY span)
+    SELECT doc_id,
+           sum(n_occ)::BIGINT AS n_spans,
+           coalesce(sum(n_occ) FILTER (WHERE nd >= 2), 0)::BIGINT AS n_dup_spans,
+           (coalesce(sum(n_occ) FILTER (WHERE nd >= 2), 0) * 1000000
+              // sum(n_occ))::BIGINT AS dup_span_micro
+    FROM g JOIN c USING (span)
+    GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022): per-doc counts of 8-token
+    spans that also occur in at least one other document — the signal that
+    catches a paragraph copied between otherwise-distinct docs, which
+    doc-level (sha2/MinHash) and within-doc (repetition) operators both
+    miss. The Spark side keys spans by sha2 so only (32-byte key, id)
+    tuples shuffle; the oracle groups by the span text itself — identical
+    outputs absent a sha2 collision, the same equivalence q_dedup_exact
+    already relies on."""
+    from stackai_vector_db_spark.operators.dedup import span_dup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dup_stats(docs, window=SPAN_WINDOW)
+
+
 @register(
     "q_dedup_components",
     oracle=f"""
@@ -3561,6 +3605,7 @@ SWEEP_ORDER = [
     # --- 31-50: newly hash-promoted + changed oracles, then §2 core ---
     "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_topk",
     "q_ivf_pq_residual_topk", "q_kmeans_build", "q_domain_mix",
+    "q_span_dedup",
     "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
     "q_point_lookup", "q_filter_fk",
     "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",

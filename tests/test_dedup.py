@@ -254,3 +254,33 @@ def test_shingle_arrow_matches_native(spark):
             for r in with_shingle_sets(df, strategy="arrow").collect()
         }
         assert nat == arr
+
+
+def test_span_dup_stats_semantics(spark):
+    """Hand-built corpus pinning the span-level contract: exact copies
+    share every span, a doc sharing only an 8-token prefix has exactly one
+    duplicated span, WITHIN-doc repetition alone is not duplication, and
+    docs shorter than the window are excluded."""
+    from stackai_vector_db_spark.operators.dedup import span_dup_stats
+
+    ten = "a b c d e f g h i j"          # 10 tokens -> 3 spans of 8
+    rows = [
+        (0, ten),                          # dup of 1: all 3 spans shared
+        (1, ten),
+        (2, "q r s t u v w x y z"),        # unique: 0 dup spans
+        (3, "a b c d e f g h x y"),        # shares span 1 of doc 0 only
+        (4, "t t t t t t t t t t"),        # within-doc repeat, no other doc
+        (5, "too short for any span"),     # 5 tokens -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_micro)
+        for r in span_dup_stats(docs, window=8).collect()
+    }
+    assert got == {
+        0: (3, 3, 1000000),
+        1: (3, 3, 1000000),
+        2: (3, 0, 0),
+        3: (3, 1, 333333),
+        4: (3, 0, 0),   # n_spans counts positions; nd=1 -> not cross-doc
+    }

@@ -146,3 +146,20 @@ def test_pq_refine_hydration_is_broadcast_queries(spark):
     a = _audit(spark, "q_pq_refine_topk")
     assert a["python_stages"] == 1
     assert "CartesianProduct" not in a["joins"]
+
+
+def test_span_dedup_single_scan_no_join(spark):
+    """Span-level dedup must read the corpus ONCE: the per-key doc count
+    is a window over the reduced (key, doc) rollup, not a join back to a
+    second scan+explode (the naive aggregate-join form duplicated the
+    whole subtree). No join at all; shuffles are the (key,doc) rollup,
+    the window's key exchange, and the final per-doc agg."""
+    a = _audit(spark, "q_span_dedup")
+    assert len(a["schemas"]) == 1, "corpus must be scanned exactly once"
+    assert a["joins"] == []
+    assert a["shuffles"] <= 3
+    assert a["python_stages"] == 0  # sha2/explode are native expressions
+    # column pruning: only (doc_id, text) leave the scan
+    import re
+    read_cols = [set(re.findall(r"(\w+):", s)) for s in a["schemas"]]
+    assert all(cols <= {"doc_id", "text"} for cols in read_cols)
