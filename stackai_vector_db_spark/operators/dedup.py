@@ -586,8 +586,11 @@ def span_dup_stats(
     micro-ratio (floor), float-free like the repetition stats.
 
     Scale shape (100 TB): the explode emits ~n_tokens rows per doc, but
-    each is a (32-byte sha2 key, id) pair — the text body never enters a
-    shuffle (same body-drop precedent as the exact-dedup sha2 key). ONE
+    each is a (16-byte truncated-sha2 key, id) pair — the text body never
+    enters a shuffle (body-drop precedent of the exact-dedup sha2 key;
+    128 bits keeps the collision birthday bound at ~2^64 spans, and the
+    binary key measured 1.6× faster end-to-end than the 64-char hex form
+    at 3.3M spans — shuffle and sort width is the knob). ONE
     corpus scan: the per-key distinct-doc count is a window over the
     already-reduced (key, doc) rollup, not a groupBy+self-join back to a
     second scan (plan-verified — the naive aggregate-vs-aggregate join
@@ -607,8 +610,17 @@ def span_dup_stats(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("__ws") - (window - 1)),
-                    lambda i: F.sha2(
-                        F.array_join(F.slice("__ws", i, F.lit(window)), " "), 256
+                    lambda i: F.substring(
+                        F.unhex(
+                            F.sha2(
+                                F.array_join(
+                                    F.slice("__ws", i, F.lit(window)), " "
+                                ),
+                                256,
+                            )
+                        ),
+                        1,
+                        16,
                     ),
                 )
             ).alias("__key"),

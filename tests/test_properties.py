@@ -194,3 +194,38 @@ def test_repetition_stats_matches_pure_python(spark, tmp_path_factory, docs):
         assert r["n_words"] == n
         assert r["dup_word_micro"] == (n - nd) * 1_000_000 // n
         assert r["top_bigram_micro"] == maxc * 2_000_000 // n
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_span_dup_stats_matches_pure_python(spark, docs):
+    """span_dup_stats equals an independent pure-Python span counter for
+    arbitrary word streams (window=3 so the tiny vocab produces real
+    cross-doc collisions, within-doc repeats, and excluded short docs)."""
+    from stackai_vector_db_spark.operators.dedup import span_dup_stats
+
+    w = 3
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_micro"])
+        for r in span_dup_stats(df, window=w).collect()
+    }
+
+    spans = {
+        i: [tuple(ws[j : j + w]) for j in range(len(ws) - w + 1)]
+        for i, t in enumerate(docs)
+        for ws in [t.strip().split()]
+        if len(ws) >= w
+    }
+    docs_of = {}
+    for i, ss in spans.items():
+        for s in set(ss):
+            docs_of.setdefault(s, set()).add(i)
+    want = {}
+    for i, ss in spans.items():
+        n = len(ss)
+        nd = sum(1 for s in ss if len(docs_of[s]) >= 2)
+        want[i] = (n, nd, nd * 1_000_000 // n)
+    assert got == want

@@ -271,6 +271,20 @@ def main() -> None:
     results["minhash_incremental_s"] = round(time.perf_counter() - t0, 3)
     results["minhash_incremental_pairs"] = inc_pairs
 
+    # Span-dedup probe: cross-doc duplicated 8-token spans over the same
+    # corpus — linear in corpus tokens (every span position becomes one
+    # (32-byte key, id) shuffle row). The generator's repeating word
+    # patterns make shared spans common, so the per-key window also sees
+    # real multi-doc keys. Stable evidence = docs with ≥1 duplicated span.
+    from stackai_vector_db_spark.operators.dedup import span_dup_stats
+
+    t0 = time.perf_counter()
+    span_dup_docs = (
+        span_dup_stats(docs, window=8).filter(F.col("n_dup_spans") > 0).count()
+    )
+    results["span_dedup_s"] = round(time.perf_counter() - t0, 3)
+    results["span_dedup_docs_dup"] = span_dup_docs
+
     print(
         json.dumps(
             {"metric": "scale_probe", "n": n, "dim": dim, "mode": mode, "queries": nq, **results}
