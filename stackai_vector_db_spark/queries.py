@@ -1761,6 +1761,64 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_span_dedup_incremental",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra' FROM documents
+      WHERE doc_id % 50 = 0),
+    w AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM aug),
+    p AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - {SPAN_WINDOW - 2})) AS i
+      FROM w WHERE len(ws) >= {SPAN_WINDOW}),
+    s AS (
+      SELECT doc_id,
+             array_to_string(ws[i::INT : (i + {SPAN_WINDOW - 1})::INT], ' ') AS span
+      FROM p),
+    g AS (SELECT doc_id, span, count(*) AS n_occ FROM s GROUP BY doc_id, span),
+    c AS (SELECT span, count(*) AS nd FROM g GROUP BY span)
+    SELECT doc_id,
+           sum(n_occ)::BIGINT AS n_spans,
+           coalesce(sum(n_occ) FILTER (WHERE nd >= 2), 0)::BIGINT AS n_dup_spans,
+           (coalesce(sum(n_occ) FILTER (WHERE nd >= 2), 0) * 1000000
+              // sum(n_occ))::BIGINT AS dup_span_micro
+    FROM g JOIN c USING (span)
+    WHERE doc_id >= 1000000
+    GROUP BY doc_id
+    """,
+)
+def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup: augmented copies (every 50th doc + ' extra',
+    re-identified past 1e6) arrive as a NEW batch and are scored against
+    the stored span index of the original corpus — no corpus re-scan. The
+    oracle is the full union-corpus SQL filtered to new ids: exactness of
+    the batch ∪-decomposition IS the claim (every 8-token span of a copy
+    already exists in its original, so copies score fully duplicated
+    except the suffix-bearing tail spans). The old index is a STORED
+    artifact in production (bucketBy(__key) — build_span_index docstring);
+    persist+fill stands in for the table read."""
+    from stackai_vector_db_spark.operators.dedup import (
+        build_span_index,
+        incremental_span_dup_stats,
+    )
+
+    old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = old.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    app = spark.sparkContext.applicationId
+    index = _persist_slot(
+        (app, "span_index", sf_dir),
+        build_span_index(old, window=SPAN_WINDOW),
+    )
+    index.count()
+    return incremental_span_dup_stats(new, index, window=SPAN_WINDOW)
+
+
+@register(
     "q_dedup_components",
     oracle=f"""
     WITH RECURSIVE pairs AS (
@@ -3605,7 +3663,7 @@ SWEEP_ORDER = [
     # --- 31-50: newly hash-promoted + changed oracles, then §2 core ---
     "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_topk",
     "q_ivf_pq_residual_topk", "q_kmeans_build", "q_domain_mix",
-    "q_span_dedup",
+    "q_span_dedup", "q_span_dedup_incremental",
     "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
     "q_point_lookup", "q_filter_fk",
     "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",

@@ -284,3 +284,73 @@ def test_span_dup_stats_semantics(spark):
         3: (3, 1, 333333),
         4: (3, 0, 0),   # n_spans counts positions; nd=1 -> not cross-doc
     }
+
+
+def test_span_dup_stats_mega_span_canary(spark):
+    """Degenerate corpus: one boilerplate 8-token span present in EVERY
+    doc (the mega-key case that concentrates a window partition on one
+    reducer). Must complete and count exactly — post-reduction the hot
+    key holds one row per doc, never one per occurrence."""
+    from stackai_vector_db_spark.operators.dedup import span_dup_stats
+
+    boiler = "all rights reserved contact us terms of service"  # 8 tokens
+    n = 5000
+    rows = [(i, f"{boiler} unique{i} filler{i} pad{i} x{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = span_dup_stats(docs, window=8).collect()
+    assert len(out) == n
+    # 12 tokens -> 5 spans; only the boilerplate-anchored span 1 is shared
+    # (spans 2-5 contain the doc-unique tail tokens)
+    for r in out:
+        assert (r.n_spans, r.n_dup_spans, r.dup_span_micro) == (5, 1, 200000)
+
+
+def test_incremental_span_equals_full_restriction(spark):
+    """The incremental span path is exact: for a random word corpus split
+    90/10, incremental(new vs old-index) must equal span_dup_stats over
+    the UNION corpus restricted to the new ids — and merging the batch
+    into the index must equal rebuilding from the union."""
+    import random
+
+    from stackai_vector_db_spark.operators.dedup import (
+        build_span_index,
+        incremental_span_dup_stats,
+        merge_span_index,
+        span_dup_stats,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> real cross-doc spans
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 14)))
+        for _ in range(60)
+    ]
+    texts += [texts[i] for i in range(0, 10)]  # planted exact copies
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 4
+    cut = 60
+    old = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+
+    full = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_micro)
+        for r in span_dup_stats(docs, window=w).collect()
+        if r.doc_id >= cut
+    }
+    index = build_span_index(old, window=w)
+    inc = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_micro)
+        for r in incremental_span_dup_stats(new, index, window=w).collect()
+    }
+    assert inc == full
+
+    rebuilt = {
+        (bytes(r["__key"]), r["nd"])
+        for r in build_span_index(docs, window=w).collect()
+    }
+    merged = {
+        (bytes(r["__key"]), r["nd"])
+        for r in merge_span_index(index, new, window=w).collect()
+    }
+    assert merged == rebuilt

@@ -285,6 +285,24 @@ def main() -> None:
     results["span_dedup_s"] = round(time.perf_counter() - t0, 3)
     results["span_dedup_docs_dup"] = span_dup_docs
 
+    # Incremental span-dedup: last 10% of the corpus as a new batch vs the
+    # stored span index of the first 90% — work ∝ batch.
+    from stackai_vector_db_spark.operators.dedup import (
+        build_span_index,
+        incremental_span_dup_stats,
+    )
+
+    span_index = build_span_index(old_docs, window=8).persist()
+    span_index.count()  # the index is pre-built/stored
+    t0 = time.perf_counter()
+    inc_span_docs = (
+        incremental_span_dup_stats(new_docs, span_index, window=8)
+        .filter(F.col("n_dup_spans") > 0)
+        .count()
+    )
+    results["span_incremental_s"] = round(time.perf_counter() - t0, 3)
+    results["span_incremental_docs_dup"] = inc_span_docs
+
     print(
         json.dumps(
             {"metric": "scale_probe", "n": n, "dim": dim, "mode": mode, "queries": nq, **results}
