@@ -63,3 +63,29 @@ def test_kmeans_build_shape_stable(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert len(rows_a) == len(rows_b) > 0
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """The rows-only HLL query's accuracy contract, pinned: per group the
+    HyperLogLog++ estimate (rsd=0.01) sits within 5× the requested
+    relative error of the exact distinct count — engine-specific sketch
+    internals are WHY it has no DuckDB oracle, but the estimate quality
+    is still checkable against Spark's own exact aggregate."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.catalog import load_table
+
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in Q.REGISTRY["q_approx_distinct"].fn(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and len(exact) > 0
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)

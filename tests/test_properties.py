@@ -155,10 +155,18 @@ def test_domain_mix_invariants(spark, doc_ids, wa):
     n = {r["lang"]: r["n_in"] for r in out}
     if not out:
         return
-    nn = min(v * 100 // w[k] for k, v in n.items())
+    # Binding quota over NON-EMPTY strata only, mirroring the operator's
+    # (and hash-green oracle's) `n_in > 0` guard — an absent target stratum
+    # keeps its row with n_in = 0, rate 0, and must not zero the quota.
+    # (Hypothesis found the all-one-parity corpus where stratum 'b' is
+    # empty; the old reimplementation here took min over ALL rows.)
+    nn = min(v * 100 // w[k] for k, v in n.items() if v > 0)
     for r in out:
         assert 0 <= r["rate_ppm"] <= 1_000_000
         assert r["n_kept"] <= r["n_in"]
+        if r["n_in"] == 0:
+            assert r["rate_ppm"] == 0 and r["n_kept"] == 0
+            continue
         # quota implied by the rate never exceeds the target share of N
         assert (nn * w[r["lang"]] // 100) * 1_000_000 // r["n_in"] == r["rate_ppm"]
 
