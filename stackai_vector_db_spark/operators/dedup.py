@@ -686,7 +686,10 @@ def merge_span_index(span_index: DataFrame, new_docs: DataFrame,
                      window: int = 8) -> DataFrame:
     """Index after ingesting ``new_docs``: per-key distinct-doc counts
     summed across the stored index and the batch (full-outer merge —
-    equals rebuilding from the union corpus, asserted in tests)."""
+    equals rebuilding from the union corpus, asserted in tests). Same
+    caveat as :func:`incremental_span_dup_stats`: a doc_id present in both
+    the indexed corpus and the batch double-counts — reject re-ingested
+    ids upstream (the streaming curation gate already does)."""
     batch = build_span_index(new_docs, text_col, id_col, window)
     return (
         span_index.withColumnRenamed("nd", "__nd_old")
