@@ -596,6 +596,37 @@ def _span_keys(
     )
 
 
+def _span_rollup(
+    docs: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(__key, id, n_occ) — per-doc occurrence counts of each span key
+    (the reduced set every downstream span operator works over)."""
+    return (
+        _span_keys(docs, text_col, id_col, window)
+        .groupBy("__key", id_col)
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+def _span_finalize(flagged: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_occ, __dup_occ) rows → the span-stats output contract:
+    (id, n_spans, n_dup_spans, dup_span_micro) with floor-integer micro —
+    ONE definition so the batch and incremental paths can't drift."""
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_spans"),
+            F.sum("__dup_occ").alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.expr("n_dup_spans * 1000000 div n_spans").alias("dup_span_micro"),
+        )
+    )
+
+
 def span_dup_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -635,26 +666,13 @@ def span_dup_stats(
     carries. No pairwise join ever forms: cost is linear in corpus
     tokens, which is exactly the suffix-array bound up to the hash width.
     """
-    per_doc_key = _span_keys(docs, text_col, id_col, window).groupBy(
-        "__key", id_col
-    ).agg(F.count(F.lit(1)).alias("n_occ"))
     from pyspark.sql.window import Window as W
 
+    per_doc_key = _span_rollup(docs, text_col, id_col, window)
     nd = F.count(F.lit(1)).over(W.partitionBy("__key"))
     dup_occ = F.when(nd >= 2, F.col("n_occ")).otherwise(F.lit(0))
-    return (
-        per_doc_key.select(id_col, "n_occ", dup_occ.alias("__dup_occ"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("n_occ").alias("n_spans"),
-            F.sum("__dup_occ").alias("n_dup_spans"),
-        )
-        .select(
-            id_col,
-            "n_spans",
-            "n_dup_spans",
-            F.expr("n_dup_spans * 1000000 div n_spans").alias("dup_span_micro"),
-        )
+    return _span_finalize(
+        per_doc_key.select(id_col, "n_occ", dup_occ.alias("__dup_occ")), id_col
     )
 
 
@@ -673,9 +691,7 @@ def build_span_index(
     from the same corpus yields the identical table, so the batch and
     incremental paths agree exactly."""
     return (
-        _span_keys(docs, text_col, id_col, window)
-        .groupBy("__key", id_col)
-        .agg(F.lit(1).alias("__one"))
+        _span_rollup(docs, text_col, id_col, window)
         .groupBy("__key")
         .agg(F.count(F.lit(1)).alias("nd"))
     )
@@ -725,9 +741,7 @@ def incremental_span_dup_stats(
     the index was built and are never re-derived."""
     from pyspark.sql.window import Window as W
 
-    per_doc_key = _span_keys(new_docs, text_col, id_col, window).groupBy(
-        "__key", id_col
-    ).agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc_key = _span_rollup(new_docs, text_col, id_col, window)
     nd_batch = F.count(F.lit(1)).over(W.partitionBy("__key"))
     batch_side = per_doc_key.select(
         "__key", id_col, "n_occ", nd_batch.alias("__nd_batch")
@@ -738,21 +752,11 @@ def incremental_span_dup_stats(
         "left",
     )
     dup = (F.col("__nd_batch") >= 2) | (F.coalesce("__nd_old", F.lit(0)) >= 1)
-    return (
+    return _span_finalize(
         joined.select(
             id_col,
             "n_occ",
             F.when(dup, F.col("n_occ")).otherwise(F.lit(0)).alias("__dup_occ"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum("n_occ").alias("n_spans"),
-            F.sum("__dup_occ").alias("n_dup_spans"),
-        )
-        .select(
-            id_col,
-            "n_spans",
-            "n_dup_spans",
-            F.expr("n_dup_spans * 1000000 div n_spans").alias("dup_span_micro"),
-        )
+        ),
+        id_col,
     )

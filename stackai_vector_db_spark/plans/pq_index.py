@@ -45,14 +45,42 @@ def glob_for(variant: str, kind: str) -> str:
     return os.path.join(ARTIFACT_ROOT, "*", f"{variant}_{kind}", "*.parquet")
 
 
+_CORPUS_KEYS: dict = {}
+
+
 def corpus_key(spark: SparkSession, sf_dir: str) -> int:
     """Fingerprint a fixture dir by (embeddings rows, orders rows) — both
     are parquet-metadata counts (no scan).  SQL twin:
     ``(SELECT count(*) FROM embeddings) * 1000000000 +
-    (SELECT count(*) FROM orders)``."""
-    n_emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
-    n_ord = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
-    return n_emb * 1_000_000_000 + n_ord
+    (SELECT count(*) FROM orders)``.
+
+    Memoized per (session, dir): three artifact families (raw PQ,
+    residual PQ, k-means centroids) ask for the same key; without the memo
+    each ran its own pair of count jobs.  Counts alone CAN collide with an
+    unrelated user table — loaders guard with
+    :func:`codes_cover_corpus` before trusting a hit."""
+    ck = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    if ck not in _CORPUS_KEYS:
+        n_emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).count()
+        n_ord = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+        _CORPUS_KEYS[ck] = n_emb * 1_000_000_000 + n_ord
+    return _CORPUS_KEYS[ck]
+
+
+def codes_cover_corpus(
+    corpus: DataFrame, codes: DataFrame, id_col: str = "vec_id"
+) -> bool:
+    """Collision guard for the row-count corpus key: a loaded codes
+    artifact must cover exactly the corpus' id set.  Compares (count, min,
+    max, sum) of the id column — column-pruned aggregates on both sides,
+    independent of vector width.  An unrelated table that happens to match
+    both row counts fails here and the loader rebuilds; the residual risk
+    (same ids, different vectors) requires deliberately re-writing vectors
+    in place under an identical id layout."""
+    probe = [F.count(id_col), F.min(id_col), F.max(id_col), F.sum(id_col)]
+    return tuple(corpus.agg(*probe).first()) == tuple(codes.agg(*probe).first())
 
 
 def _dir_for(key: int, variant: str, kind: str) -> str:

@@ -1023,8 +1023,13 @@ def _kmeans_artifact_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cents is None:
             emb = load_table(spark, sf_dir, "embeddings")
             cents = ivf_ops.kmeans_centroids(emb, n_clusters=10)
-            pq_index.write_table_artifact(ckey, cents, "kmeans", "centroids")
-            cents = pq_index.load_table_artifact(spark, ckey, "kmeans", "centroids")
+            try:
+                pq_index.write_table_artifact(ckey, cents, "kmeans", "centroids")
+                cents = pq_index.load_table_artifact(
+                    spark, ckey, "kmeans", "centroids"
+                )
+            except Exception:
+                pass  # read-only install: serve the in-memory train
         cents = cents.cache()
         cents.count()  # tiny (10 rows)
         _IVF_ARTIFACTS[key_t] = cents
@@ -1085,18 +1090,24 @@ def _pq_artifacts(spark: SparkSession, sf_dir: str, m: int = 8, n_codes: int = 6
 
     key = (spark.sparkContext.applicationId, sf_dir, m, n_codes, seed)
     if key not in _PQ_ARTIFACTS:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         ckey = pq_index.corpus_key(spark, sf_dir)
         loaded = pq_index.load_pq_index(spark, ckey, "raw")
+        if loaded is not None and not pq_index.codes_cover_corpus(emb, loaded[1]):
+            loaded = None  # row-count key collided with an unrelated table
         if loaded is None:
-            emb = load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", "embedding"
-            )
             codebooks = pq_ops.train_pq(emb, m=m, n_codes=n_codes, seed=seed)
             codes = pq_ops.encode_pq(emb, codebooks)
-            pq_index.write_pq_index(
-                ckey, pq_ops.codebooks_to_df(spark, codebooks), codes, "raw"
-            )
-            loaded = pq_index.load_pq_index(spark, ckey, "raw")
+            try:
+                pq_index.write_pq_index(
+                    ckey, pq_ops.codebooks_to_df(spark, codebooks), codes, "raw"
+                )
+                loaded = pq_index.load_pq_index(spark, ckey, "raw")
+            except Exception:
+                # read-only install: serve the in-memory build (the DuckDB
+                # oracle needs the persisted form, but the query path must
+                # not crash for lack of a writable artifact root)
+                loaded = (codebooks, codes)
         codebooks, codes = loaded
         codes = codes.cache()
         codes.count()  # eager fill — several queries reference this subtree
@@ -1333,19 +1344,24 @@ def _ivf_pq_residual_artifacts(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, "ivf_pq_residual")
     if key not in _IVF_ARTIFACTS:
         cents = _ivf_centroids(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
         ckey = pq_index.corpus_key(spark, sf_dir)
         loaded = pq_index.load_pq_index(spark, ckey, "residual")
+        if loaded is not None and not pq_index.codes_cover_corpus(emb, loaded[1]):
+            loaded = None  # row-count key collided with an unrelated table
         if loaded is None:
-            emb = load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", "embedding", "label"
-            )
             codebooks, coded = pq_ops.ivf_pq_residual_build(
                 emb, cents, m=8, n_codes=64, seed=42
             )
-            pq_index.write_pq_index(
-                ckey, pq_ops.codebooks_to_df(spark, codebooks), coded, "residual"
-            )
-            loaded = pq_index.load_pq_index(spark, ckey, "residual")
+            try:
+                pq_index.write_pq_index(
+                    ckey, pq_ops.codebooks_to_df(spark, codebooks), coded, "residual"
+                )
+                loaded = pq_index.load_pq_index(spark, ckey, "residual")
+            except Exception:
+                loaded = (codebooks, coded)  # read-only install (see _pq_artifacts)
         codebooks, coded = loaded
         coded = coded.cache()
         coded.count()
@@ -1750,7 +1766,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans that also occur in at least one other document — the signal that
     catches a paragraph copied between otherwise-distinct docs, which
     doc-level (sha2/MinHash) and within-doc (repetition) operators both
-    miss. The Spark side keys spans by sha2 so only (32-byte key, id)
+    miss. The Spark side keys spans by truncated sha2 so only (16-byte key, id)
     tuples shuffle; the oracle groups by the span text itself — identical
     outputs absent a sha2 collision, the same equivalence q_dedup_exact
     already relies on."""
@@ -3668,8 +3684,13 @@ SWEEP_ORDER = [
     "q_point_lookup", "q_filter_fk",
     "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
     "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
-    "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
+    "q_count_by_group",
     # --- past 50: r4-green, next row in a later round's rotation ---
+    # (q_cluster_stats / q_dirty_ratio moved here when the two span ids
+    #  took their top-50 slots: their r4 rows keep them inside the
+    #  union-of-last-two freshness rule through r5; rotate them back into
+    #  the top 50 in r6.)
+    "q_cluster_stats", "q_dirty_ratio",
     "q_index_stats",
     "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
     "q_events_sliding", "q_events_dedup", "q_zorder_box",

@@ -32,14 +32,55 @@ def _default_driver_memory() -> str:
                     break
     except OSError:
         return "8g"
-    try:
-        with open("/sys/fs/cgroup/memory.max") as f:
-            lim = f.read().strip()
-        if lim != "max":
-            avail_gib = min(avail_gib, int(lim) / 2**30)
-    except (OSError, ValueError):
-        pass
+    lim = _cgroup_memory_limit_bytes()
+    if lim is not None:
+        avail_gib = min(avail_gib, lim / 2**30)
     return f"{max(4, min(31, int(avail_gib * 0.6)))}g"
+
+
+def _cgroup_memory_limit_bytes() -> int | None:
+    """This process's effective cgroup memory cap, or None when unlimited.
+
+    MemAvailable is HOST-wide, so a process confined to a systemd slice or
+    container cgroup must also consult its own cgroup — and that cgroup is
+    the one named in /proc/self/cgroup, not the v2 root (whose memory.max
+    usually reads 'max' even when a nested slice is capped). Checks, in
+    order: the process's own v2 path, the v2 root, and the v1
+    memory.limit_in_bytes (where 'unlimited' shows up as a huge value)."""
+    paths = []
+    try:
+        with open("/proc/self/cgroup") as f:
+            for line in f:
+                # v2: "0::/some/slice"; v1: "N:memory:/path"
+                parts = line.strip().split(":", 2)
+                if len(parts) != 3:
+                    continue
+                if parts[0] == "0" and parts[1] == "":
+                    paths.append(f"/sys/fs/cgroup{parts[2]}/memory.max")
+                elif "memory" in parts[1].split(","):
+                    paths.append(
+                        f"/sys/fs/cgroup/memory{parts[2]}/memory.limit_in_bytes"
+                    )
+    except OSError:
+        pass
+    paths.append("/sys/fs/cgroup/memory.max")
+    paths.append("/sys/fs/cgroup/memory/memory.limit_in_bytes")
+    for p in paths:
+        try:
+            with open(p) as f:
+                raw = f.read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            val = int(raw)
+        except ValueError:
+            continue
+        if val >= 2**60:  # v1 reports "unlimited" as a huge number
+            return None
+        return val
+    return None
 
 
 def get_spark(

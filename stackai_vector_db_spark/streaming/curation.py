@@ -102,16 +102,34 @@ def curation_ingest_stream(
         old_banded = _read_or_empty(
             sp, banded_path, _BANDED_SCHEMA, before=batch_id
         )
+        # Within-batch doc_id collisions first: the stored-index gate
+        # below can't see them (neither copy is stored yet), so both would
+        # enter the corpus and the index — the same unique-doc_id breach,
+        # intra-batch (availableNow drains every pending file into one
+        # batch, so two files carrying one id is a normal arrival shape).
+        # Keep one deterministic winner per id — min clean_text, because
+        # micro-batch row order is not stable across replays but the text
+        # is — and reject the rest under the same reason code.
+        from pyspark.sql.window import Window as _W
+
+        rn = F.row_number().over(
+            _W.partitionBy("doc_id").orderBy("clean_text")
+        )
+        numbered = kept.withColumn("__rn", rn)
+        intra_rejects = numbered.filter(F.col("__rn") > 1).select(
+            "doc_id", "text", F.lit("duplicate_doc_id").alias("reason")
+        )
+        uniq = numbered.filter(F.col("__rn") == 1).drop("__rn")
         # A doc_id already in the stored index is a re-ingest of itself:
         # reject it OUTRIGHT before pairing (round-4 advisor finding — the
         # id_a != id_b pair filter would otherwise re-admit it, appending
         # a duplicate doc_id to the corpus and double-counting its
         # shingles in the index). Keeps the index unique on doc_id.
         stored_ids = old_base.select("doc_id")
-        reingests = kept.join(stored_ids, "doc_id", "left_semi").select(
+        reingests = uniq.join(stored_ids, "doc_id", "left_semi").select(
             "doc_id", "text", F.lit("duplicate_doc_id").alias("reason")
         )
-        kept_new = kept.join(stored_ids, "doc_id", "left_anti")
+        kept_new = uniq.join(stored_ids, "doc_id", "left_anti")
         dedup_in = kept_new.select("doc_id", F.col("clean_text").alias("text"))
         new_base, new_banded = build_minhash_index(
             dedup_in, k=k, n_hashes=n_hashes, n_bands=n_bands
@@ -156,7 +174,9 @@ def curation_ingest_stream(
         # ONE write per table per epoch: a second dynamic overwrite of the
         # same batch_id partition would clobber the first.
         _overwrite_epoch(
-            low_rejects.unionByName(reingests).unionByName(dup_rejects),
+            low_rejects.unionByName(intra_rejects)
+            .unionByName(reingests)
+            .unionByName(dup_rejects),
             batch_id,
             rejects_path,
         )

@@ -339,3 +339,67 @@ def test_committed_artifacts_match_deterministic_rebuild(spark, emb):
         for r in art_coded.collect()
     }
     assert got_r == want_r
+
+
+def test_codes_cover_corpus_guard(spark, emb):
+    """The row-count corpus key can collide with an unrelated table;
+    codes_cover_corpus must accept the true corpus' codes and reject a
+    same-cardinality table with a different id set."""
+    from stackai_vector_db_spark import queries as Q
+    from stackai_vector_db_spark.plans import pq_index
+
+    _, codes = Q._pq_artifacts(spark, SF_DIR)
+    assert pq_index.codes_cover_corpus(emb, codes)
+    from pyspark.sql import functions as F
+
+    shifted = emb.select((F.col("vec_id") + 7).alias("vec_id"), "embedding")
+    assert not pq_index.codes_cover_corpus(shifted, codes)
+
+
+def test_pq_artifacts_rebuild_on_key_collision(spark, monkeypatch):
+    """A loaded artifact that fails the coverage guard must be discarded
+    and rebuilt from the actual corpus — colliding counts never serve
+    another table's codes."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark import queries as Q
+    from stackai_vector_db_spark.plans import pq_index
+
+    _, good = Q._pq_artifacts(spark, SF_DIR)  # committed artifact, valid
+    wrong = good.select((F.col("vec_id") + 7).alias("vec_id"), "codes")
+    real_load = pq_index.load_pq_index
+    calls = {"n": 0}
+
+    def fake_load(s, key, variant="raw"):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first load: the colliding artifact
+            cb, _ = real_load(s, key, variant)
+            return cb, wrong
+        return real_load(s, key, variant)
+
+    monkeypatch.setattr(pq_index, "load_pq_index", fake_load)
+    Q._PQ_ARTIFACTS.clear()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _, codes = Q._pq_artifacts(spark, SF_DIR)
+    Q._PQ_ARTIFACTS.clear()
+    assert pq_index.codes_cover_corpus(emb, codes)
+
+
+def test_pq_artifacts_survive_readonly_root(spark, monkeypatch):
+    """A missing artifact on an unwritable install must degrade to the
+    in-memory build, not crash the query path."""
+    from stackai_vector_db_spark import queries as Q
+    from stackai_vector_db_spark.plans import pq_index
+
+    def no_load(s, key, variant="raw"):
+        return None
+
+    def no_write(*a, **k):
+        raise OSError("read-only artifact root")
+
+    monkeypatch.setattr(pq_index, "load_pq_index", no_load)
+    monkeypatch.setattr(pq_index, "write_pq_index", no_write)
+    Q._PQ_ARTIFACTS.clear()
+    codebooks, codes = Q._pq_artifacts(spark, SF_DIR)
+    Q._PQ_ARTIFACTS.clear()
+    assert codebooks.shape[0] == 8 and codes.count() > 0

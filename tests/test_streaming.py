@@ -689,3 +689,45 @@ def test_dedup_stream_crash_mid_epoch_replays_exactly_once(
     # exactly-once: each (id_a, id_b) pair appears once
     keys = [(a, b) for a, b, _ in crashed[0]]
     assert len(keys) == len(set(keys))
+
+
+def test_curation_stream_intra_batch_doc_id_collision(spark, tmp_path):
+    """The same doc_id arriving twice WITHIN one micro-batch (two files,
+    availableNow drains both at once) must admit exactly one copy; the
+    other dead-letters as duplicate_doc_id. The stored-index gate can't
+    see this case — neither copy is stored yet — so the within-batch
+    winner rule (min clean_text, deterministic across replays) guards it."""
+    from stackai_vector_db_spark.functions.text import quality_score
+    from stackai_vector_db_spark.streaming.curation import curation_ingest_stream
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    good = d.withColumn("s", quality_score(F.col("text"))).filter(
+        F.col("s") >= 0.5
+    ).drop("s").limit(10).persist()
+    n = good.count()
+    assert n == 10
+
+    docs_dir = str(tmp_path / "in")
+    good.coalesce(1).write.mode("append").parquet(docs_dir)
+    # same ids again, different (lexicographically larger) text — loses
+    good.select(
+        "doc_id", F.concat(F.lit("zzz "), F.col("text")).alias("text")
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    # NO max_files_per_trigger: both files land in ONE batch
+    curation_ingest_stream(
+        spark,
+        docs_dir,
+        str(tmp_path / "index"),
+        str(tmp_path / "out"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "out/docs"))
+    assert docs.count() == docs.select("doc_id").distinct().count() == n
+    # the min-text originals won, not the zzz copies
+    assert docs.filter(F.col("text").startswith("zzz")).count() == 0
+    rejects = spark.read.parquet(str(tmp_path / "out/rejects"))
+    dup = rejects.filter(F.col("reason") == "duplicate_doc_id")
+    assert dup.count() == n
+    base = spark.read.parquet(str(tmp_path / "index/base"))
+    assert base.count() == base.select("doc_id").distinct().count() == n
+    good.unpersist()

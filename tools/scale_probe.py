@@ -273,7 +273,7 @@ def main() -> None:
 
     # Span-dedup probe: cross-doc duplicated 8-token spans over the same
     # corpus — linear in corpus tokens (every span position becomes one
-    # (32-byte key, id) shuffle row). The generator's repeating word
+    # (16-byte key, id) shuffle row). The generator's repeating word
     # patterns make shared spans common, so the per-key window also sees
     # real multi-doc keys. Stable evidence = docs with ≥1 duplicated span.
     from stackai_vector_db_spark.operators.dedup import span_dup_stats
