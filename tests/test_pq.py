@@ -356,10 +356,12 @@ def test_codes_cover_corpus_guard(spark, emb):
     assert not pq_index.codes_cover_corpus(shifted, codes)
 
 
-def test_pq_artifacts_rebuild_on_key_collision(spark, monkeypatch):
+def test_pq_artifacts_rebuild_on_key_collision(spark, monkeypatch, tmp_path):
     """A loaded artifact that fails the coverage guard must be discarded
     and rebuilt from the actual corpus — colliding counts never serve
-    another table's codes."""
+    another table's codes.  The rebuild's persist is redirected to a tmp
+    root: the committed repo artifacts must never churn from a test run
+    (every rewrite renames the part files and dirties the git tree)."""
     from pyspark.sql import functions as F
 
     from stackai_vector_db_spark import queries as Q
@@ -368,16 +370,29 @@ def test_pq_artifacts_rebuild_on_key_collision(spark, monkeypatch):
     _, good = Q._pq_artifacts(spark, SF_DIR)  # committed artifact, valid
     wrong = good.select((F.col("vec_id") + 7).alias("vec_id"), "codes")
     real_load = pq_index.load_pq_index
+    real_write = pq_index.write_pq_index
     calls = {"n": 0}
+
+    def _redirected(fn, *args, **kwargs):
+        old_root = pq_index.ARTIFACT_ROOT
+        pq_index.ARTIFACT_ROOT = str(tmp_path)
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            pq_index.ARTIFACT_ROOT = old_root
 
     def fake_load(s, key, variant="raw"):
         calls["n"] += 1
         if calls["n"] == 1:  # first load: the colliding artifact
             cb, _ = real_load(s, key, variant)
             return cb, wrong
-        return real_load(s, key, variant)
+        return _redirected(real_load, s, key, variant)  # reload the rebuild
+
+    def fake_write(key, cb_df, codes, variant="raw"):
+        _redirected(real_write, key, cb_df, codes, variant)
 
     monkeypatch.setattr(pq_index, "load_pq_index", fake_load)
+    monkeypatch.setattr(pq_index, "write_pq_index", fake_write)
     Q._PQ_ARTIFACTS.clear()
     emb = load_table(spark, SF_DIR, "embeddings")
     _, codes = Q._pq_artifacts(spark, SF_DIR)
