@@ -122,9 +122,24 @@ def _lloyd(x: np.ndarray, k: int, rng: np.random.Generator, max_iter: int) -> np
 
 
 def _sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Expansion-form |x|²−2x·c+|c|² pairwise squared distances — the
+    BLAS-backed form for the hot training loops (Lloyd, encode), where the
+    ~1e-13 cancellation error is irrelevant (argmin over well-separated
+    centroids)."""
     return (
         (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
     )
+
+
+def _lut_sq_dists(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Difference-form Σ(q−c)² for ADC lookup tables. The DuckDB oracles
+    replay LUT entries as ``power(q − c, 2)`` sums over the persisted
+    codebooks; computing the engine's LUTs in the SAME form removes the
+    expansion form's ~1e-13 cancellation asymmetry, which could otherwise
+    flip the 6-decimal distance rounding on a boundary value and flake a
+    hash row (round-5 review). LUT shapes are tiny (Q×K×d_sub), so the
+    extra temporary is noise."""
+    return ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
 
 
 def _topk_idx(dists: np.ndarray, vids: np.ndarray, kk: int) -> np.ndarray:
@@ -225,7 +240,7 @@ def adc_topk(
     luts = np.empty((qmat.shape[0], m, n_k), dtype=np.float64)
     for sub in range(m):
         qsub = qmat[:, sub * d_sub : (sub + 1) * d_sub]
-        luts[:, sub, :] = _sq_dists(qsub, codebooks[sub])
+        luts[:, sub, :] = _lut_sq_dists(qsub, codebooks[sub])
 
     # Flatten LUTs to (Q, M·K) so one fancy-index gathers every query's
     # subspace distances at once (the round-1 kernel looped queries serially
@@ -291,7 +306,7 @@ def ivf_pq_search(
     luts = np.empty((qmat.shape[0], m, n_k), dtype=np.float64)
     for sub in range(m):
         qsub = qmat[:, sub * d_sub : (sub + 1) * d_sub]
-        luts[:, sub, :] = _sq_dists(qsub, codebooks[sub])
+        luts[:, sub, :] = _lut_sq_dists(qsub, codebooks[sub])
 
     probes = probe_clusters(queries, centroids, nprobe, "euclidean", qid_col, qvec_col)
     cand = coded_vectors.join(F.broadcast(probes), "cluster_id").select(
@@ -444,7 +459,7 @@ def ivf_pq_residual_search(
         rq = qvec_map[qid] - cent_map[cid]
         lut = np.empty((m, n_k), dtype=np.float64)
         for sub in range(m):
-            lut[sub] = _sq_dists(
+            lut[sub] = _lut_sq_dists(
                 rq[sub * d_sub : (sub + 1) * d_sub][None, :], codebooks[sub]
             )[0]
         luts[(qid, cid)] = lut.ravel()

@@ -87,6 +87,35 @@ def _dir_for(key: int, variant: str, kind: str) -> str:
     return os.path.join(ARTIFACT_ROOT, f"key_{key}", f"{variant}_{kind}")
 
 
+def load_or_rebuild(load, valid, build, persist):
+    """The artifact lifecycle every persisted-index family shares: serve
+    the persisted artifact when it passes its validity guard, else rebuild
+    deterministically, try to persist and re-serve the persisted bytes (so
+    the query and the DuckDB oracle read identical files), and degrade to
+    the in-memory build on a read-only install.  ONE definition so no
+    family can forget its guard or its read-only fallback (a round-5
+    review found the k-means loader had no guard while the PQ loaders
+    did).
+
+    ``load() -> artifact | None``; ``valid(artifact) -> bool`` (key
+    collision / shape mismatch ⇒ rebuild — never serve another corpus' or
+    another configuration's bytes); ``build() -> artifact``;
+    ``persist(artifact) -> None`` (may raise on an unwritable root)."""
+    art = load()
+    if art is not None and not valid(art):
+        art = None
+    if art is None:
+        built = build()
+        try:
+            persist(built)
+            art = load()
+        except Exception:
+            art = None  # read-only install: serve the in-memory build
+        if art is None or not valid(art):
+            art = built
+    return art
+
+
 def write_pq_index(
     key: int, codebooks_df: DataFrame, codes: DataFrame, variant: str = "raw"
 ) -> None:

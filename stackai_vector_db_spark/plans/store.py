@@ -893,16 +893,21 @@ class VectorStore:
         chunks; it never touches the chunks table. The guard turns that
         O(metadata) assumption into an explicit contract: a deployment that
         somehow grows a control table toward data scale fails loudly here
-        instead of silently serializing it through one writer."""
-        n = df.count()
+        instead of silently serializing it through one writer. The guard
+        counts the STAGED tmp write, not the incoming plan: callers pass
+        unmaterialized join/agg plans, and a pre-write df.count() would
+        evaluate each one twice (parquet row-count reads are footer
+        metadata — no second scan)."""
+        tmp = path + "_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        staged = self.spark.read.parquet(tmp)
+        n = staged.count()
         if n > self.MAX_CONTROL_ROWS:
             raise RuntimeError(
                 f"control table {path} has {n} rows (> {self.MAX_CONTROL_ROWS}); "
                 "single-writer metadata rewrite is out of contract at this size"
             )
-        tmp = path + "_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+        staged.coalesce(1).write.mode("overwrite").parquet(path)
 
     # ---- document entities (reference routers/documents.py) ---------------
 

@@ -1018,18 +1018,29 @@ def _kmeans_artifact_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key_t = (spark.sparkContext.applicationId, sf_dir, "kmeans_cents")
     if key_t not in _IVF_ARTIFACTS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
         ckey = pq_index.corpus_key(spark, sf_dir)
-        cents = pq_index.load_table_artifact(spark, ckey, "kmeans", "centroids")
-        if cents is None:
-            emb = load_table(spark, sf_dir, "embeddings")
-            cents = ivf_ops.kmeans_centroids(emb, n_clusters=10)
-            try:
-                pq_index.write_table_artifact(ckey, cents, "kmeans", "centroids")
-                cents = pq_index.load_table_artifact(
-                    spark, ckey, "kmeans", "centroids"
-                )
-            except Exception:
-                pass  # read-only install: serve the in-memory train
+
+        def _valid(cents: DataFrame) -> bool:
+            # the row-count corpus key can collide with an unrelated user
+            # table; reject a hit whose cluster count or vector width does
+            # not match this corpus (one tiny 10-row agg)
+            n, lo, hi = cents.agg(
+                F.count(F.lit(1)), F.min(F.size("centroid")), F.max(F.size("centroid"))
+            ).first()
+            return (n, lo, hi) == (10, dim, dim)
+
+        cents = pq_index.load_or_rebuild(
+            load=lambda: pq_index.load_table_artifact(
+                spark, ckey, "kmeans", "centroids"
+            ),
+            valid=_valid,
+            build=lambda: ivf_ops.kmeans_centroids(emb, n_clusters=10),
+            persist=lambda c: pq_index.write_table_artifact(
+                ckey, c, "kmeans", "centroids"
+            ),
+        )
         cents = cents.cache()
         cents.count()  # tiny (10 rows)
         _IVF_ARTIFACTS[key_t] = cents
@@ -1092,22 +1103,41 @@ def _pq_artifacts(spark: SparkSession, sf_dir: str, m: int = 8, n_codes: int = 6
     if key not in _PQ_ARTIFACTS:
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         ckey = pq_index.corpus_key(spark, sf_dir)
-        loaded = pq_index.load_pq_index(spark, ckey, "raw")
-        if loaded is not None and not pq_index.codes_cover_corpus(emb, loaded[1]):
-            loaded = None  # row-count key collided with an unrelated table
-        if loaded is None:
+        # The persisted layout is keyed by corpus only, so it can hold ONE
+        # configuration — the canonical default. A caller asking for other
+        # compression knobs builds in memory and never persists: serving
+        # the stored m=8 codebooks for an m=4 request would silently
+        # ignore the parameters, and persisting the m=4 build would
+        # clobber the committed artifact the oracles read.
+        canonical = (m, n_codes, seed) == (8, 64, 42)
+
+        def _valid(loaded) -> bool:
+            return loaded[0].shape[:2] == (m, n_codes) and (
+                pq_index.codes_cover_corpus(emb, loaded[1])
+            )
+
+        def _build():
             codebooks = pq_ops.train_pq(emb, m=m, n_codes=n_codes, seed=seed)
-            codes = pq_ops.encode_pq(emb, codebooks)
-            try:
-                pq_index.write_pq_index(
-                    ckey, pq_ops.codebooks_to_df(spark, codebooks), codes, "raw"
+            return codebooks, pq_ops.encode_pq(emb, codebooks)
+
+        loaded = pq_index.load_or_rebuild(
+            load=(
+                (lambda: pq_index.load_pq_index(spark, ckey, "raw"))
+                if canonical
+                else (lambda: None)
+            ),
+            valid=_valid,
+            build=_build,
+            persist=(
+                (
+                    lambda lc: pq_index.write_pq_index(
+                        ckey, pq_ops.codebooks_to_df(spark, lc[0]), lc[1], "raw"
+                    )
                 )
-                loaded = pq_index.load_pq_index(spark, ckey, "raw")
-            except Exception:
-                # read-only install: serve the in-memory build (the DuckDB
-                # oracle needs the persisted form, but the query path must
-                # not crash for lack of a writable artifact root)
-                loaded = (codebooks, codes)
+                if canonical
+                else (lambda lc: None)
+            ),
+        )
         codebooks, codes = loaded
         codes = codes.cache()
         codes.count()  # eager fill — several queries reference this subtree
@@ -1348,20 +1378,22 @@ def _ivf_pq_residual_artifacts(spark: SparkSession, sf_dir: str):
             "vec_id", "embedding", "label"
         )
         ckey = pq_index.corpus_key(spark, sf_dir)
-        loaded = pq_index.load_pq_index(spark, ckey, "residual")
-        if loaded is not None and not pq_index.codes_cover_corpus(emb, loaded[1]):
-            loaded = None  # row-count key collided with an unrelated table
-        if loaded is None:
-            codebooks, coded = pq_ops.ivf_pq_residual_build(
-                emb, cents, m=8, n_codes=64, seed=42
+
+        def _valid(loaded) -> bool:
+            return loaded[0].shape[:2] == (8, 64) and (
+                pq_index.codes_cover_corpus(emb, loaded[1])
             )
-            try:
-                pq_index.write_pq_index(
-                    ckey, pq_ops.codebooks_to_df(spark, codebooks), coded, "residual"
-                )
-                loaded = pq_index.load_pq_index(spark, ckey, "residual")
-            except Exception:
-                loaded = (codebooks, coded)  # read-only install (see _pq_artifacts)
+
+        loaded = pq_index.load_or_rebuild(
+            load=lambda: pq_index.load_pq_index(spark, ckey, "residual"),
+            valid=_valid,
+            build=lambda: pq_ops.ivf_pq_residual_build(
+                emb, cents, m=8, n_codes=64, seed=42
+            ),
+            persist=lambda lc: pq_index.write_pq_index(
+                ckey, pq_ops.codebooks_to_df(spark, lc[0]), lc[1], "residual"
+            ),
+        )
         codebooks, coded = loaded
         coded = coded.cache()
         coded.count()

@@ -38,49 +38,68 @@ def _default_driver_memory() -> str:
     return f"{max(4, min(31, int(avail_gib * 0.6)))}g"
 
 
-def _cgroup_memory_limit_bytes() -> int | None:
+def _cgroup_memory_limit_bytes(
+    proc_path: str = "/proc/self/cgroup",
+    v2_root: str = "/sys/fs/cgroup",
+    v1_root: str = "/sys/fs/cgroup/memory",
+) -> int | None:
     """This process's effective cgroup memory cap, or None when unlimited.
 
     MemAvailable is HOST-wide, so a process confined to a systemd slice or
-    container cgroup must also consult its own cgroup — and that cgroup is
-    the one named in /proc/self/cgroup, not the v2 root (whose memory.max
-    usually reads 'max' even when a nested slice is capped). Checks, in
-    order: the process's own v2 path, the v2 root, and the v1
-    memory.limit_in_bytes (where 'unlimited' shows up as a huge value)."""
-    paths = []
-    try:
-        with open("/proc/self/cgroup") as f:
-            for line in f:
-                # v2: "0::/some/slice"; v1: "N:memory:/path"
-                parts = line.strip().split(":", 2)
-                if len(parts) != 3:
-                    continue
-                if parts[0] == "0" and parts[1] == "":
-                    paths.append(f"/sys/fs/cgroup{parts[2]}/memory.max")
-                elif "memory" in parts[1].split(","):
-                    paths.append(
-                        f"/sys/fs/cgroup/memory{parts[2]}/memory.limit_in_bytes"
-                    )
-    except OSError:
-        pass
-    paths.append("/sys/fs/cgroup/memory.max")
-    paths.append("/sys/fs/cgroup/memory/memory.limit_in_bytes")
-    for p in paths:
+    container cgroup must also consult its own cgroup — and the EFFECTIVE
+    cap is the minimum over the leaf named in /proc/self/cgroup AND every
+    ancestor: a pod/slice cap binds the process even when the leaf's own
+    memory.max reads 'max' (round-5 review: stopping at the first readable
+    file re-opened the exact OOM-kill scenario this sizing guards
+    against). Handles v2 (memory.max) and v1 (memory.limit_in_bytes,
+    where 'unlimited' shows up as a huge value)."""
+
+    def read_limit(path: str) -> int | None:
         try:
-            with open(p) as f:
+            with open(path) as f:
                 raw = f.read().strip()
         except OSError:
-            continue
+            return None
         if raw == "max":
             return None
         try:
             val = int(raw)
         except ValueError:
-            continue
-        if val >= 2**60:  # v1 reports "unlimited" as a huge number
             return None
-        return val
-    return None
+        return None if val >= 2**60 else val  # v1 "unlimited" sentinel
+
+    limits = []
+    try:
+        with open(proc_path) as f:
+            lines = f.readlines()
+    except OSError:
+        lines = []
+    for line in lines:
+        # v2: "0::/some/slice"; v1: "N:memory:/path"
+        parts = line.strip().split(":", 2)
+        if len(parts) != 3:
+            continue
+        if parts[0] == "0" and parts[1] == "":
+            base, fname = v2_root, "memory.max"
+        elif "memory" in parts[1].split(","):
+            base, fname = v1_root, "memory.limit_in_bytes"
+        else:
+            continue
+        segs = [s for s in parts[2].split("/") if s]
+        for i in range(len(segs), -1, -1):  # leaf, each ancestor, root
+            v = read_limit("/".join([base, *segs[:i], fname]))
+            if v is not None:
+                limits.append(v)
+    # roots as a fallback when /proc/self/cgroup itself was unreadable
+    if not lines:
+        for p in (
+            f"{v2_root}/memory.max",
+            f"{v1_root}/memory.limit_in_bytes",
+        ):
+            v = read_limit(p)
+            if v is not None:
+                limits.append(v)
+    return min(limits) if limits else None
 
 
 def get_spark(

@@ -107,13 +107,17 @@ def curation_ingest_stream(
         # enter the corpus and the index — the same unique-doc_id breach,
         # intra-batch (availableNow drains every pending file into one
         # batch, so two files carrying one id is a normal arrival shape).
-        # Keep one deterministic winner per id — min clean_text, because
-        # micro-batch row order is not stable across replays but the text
-        # is — and reject the rest under the same reason code.
+        # Keep one deterministic winner per id — min (clean_text, text),
+        # because micro-batch row order is not stable across replays but
+        # the text is. clean_text alone is NOT a total key: two raw texts
+        # can scrub to the same clean form while scoring differently, and
+        # an arbitrary winner would replay with a different score row
+        # (round-5 review). Raw text breaks the tie, and every other
+        # column (score, scrub counts) is derived from it.
         from pyspark.sql.window import Window as _W
 
         rn = F.row_number().over(
-            _W.partitionBy("doc_id").orderBy("clean_text")
+            _W.partitionBy("doc_id").orderBy("clean_text", "text")
         )
         numbered = kept.withColumn("__rn", rn)
         intra_rejects = numbered.filter(F.col("__rn") > 1).select(

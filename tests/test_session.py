@@ -26,3 +26,35 @@ def test_cgroup_limit_is_none_or_sane():
     classified as no cap."""
     lim = session._cgroup_memory_limit_bytes()
     assert lim is None or 0 < lim < 2**60
+
+
+def test_cgroup_ancestor_cap_binds(tmp_path):
+    """A cap on a PARENT slice must bind even when the leaf's own
+    memory.max reads 'max' (the systemd-slice/pod layout): the resolver
+    takes the min over the leaf and every ancestor."""
+    v2 = tmp_path / "cg2"
+    (v2 / "pod" / "scope").mkdir(parents=True)
+    (v2 / "memory.max").write_text("max\n")
+    (v2 / "pod" / "memory.max").write_text(str(8 * 2**30) + "\n")
+    (v2 / "pod" / "scope" / "memory.max").write_text("max\n")
+    proc = tmp_path / "cgroup"
+    proc.write_text("0::/pod/scope\n")
+    lim = session._cgroup_memory_limit_bytes(
+        proc_path=str(proc), v2_root=str(v2), v1_root=str(tmp_path / "none")
+    )
+    assert lim == 8 * 2**30
+
+
+def test_cgroup_min_of_nested_caps(tmp_path):
+    """When both the leaf and an ancestor are capped, the EFFECTIVE cap is
+    the smaller one, regardless of which level holds it."""
+    v2 = tmp_path / "cg2"
+    (v2 / "pod" / "scope").mkdir(parents=True)
+    (v2 / "pod" / "memory.max").write_text(str(16 * 2**30))
+    (v2 / "pod" / "scope" / "memory.max").write_text(str(4 * 2**30))
+    proc = tmp_path / "cgroup"
+    proc.write_text("0::/pod/scope\n")
+    lim = session._cgroup_memory_limit_bytes(
+        proc_path=str(proc), v2_root=str(v2), v1_root=str(tmp_path / "none")
+    )
+    assert lim == 4 * 2**30
