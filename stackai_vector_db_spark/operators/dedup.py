@@ -562,6 +562,60 @@ def duplicate_components(
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
 
 
+def canonical_by_quality(
+    docs_scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """Canonical selection per duplicate cluster — the policy step real
+    curation pipelines run after pair detection: group near-dup pairs into
+    clusters (transitive closure) and KEEP the highest-quality member,
+    not the min-id one (a near-dup of a clean doc is often a boilerplate-
+    wrapped degradation; min-id keeps whichever was crawled first).
+
+    ``docs_scored`` is ``(id_col, score_col)`` — an integer quality score
+    (micro-units for cross-engine exactness). ``pairs`` is the verified
+    near-dup pair set ``(id_a, id_b)`` from any detector (MinHash-LSH,
+    SimHash, embedding-cosine).
+
+    Scale shape: label propagation runs ONLY over pair-touching nodes —
+    O(E) rows, a tiny fraction of the corpus (dup clusters are sparse
+    after exact dedup) — never over all N docs. The score join then
+    touches only cluster members, so the full corpus is scanned exactly
+    once (to produce ``docs_scored``, where the scorer can prune to the
+    two needed columns). Ranking is per-component, keyed by cluster id —
+    components are small (bounded by dup-cluster size), so the window
+    never skews.
+
+    Ties break by min id AFTER integer rounding, so the decision is
+    deterministic and replayable in ANSI SQL (driver oracle). Returns
+    ``(id_col, component_id, score_col, is_canonical)`` for every doc that
+    belongs to a multi-member cluster; docs with no near-dup are implicitly
+    canonical and not emitted. No reference counterpart (extension).
+    """
+    from pyspark.sql import Window
+
+    nodes = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    comps = duplicate_components(nodes, pairs, id_col=id_col)
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        comps.join(docs_scored, id_col)
+        .select(
+            id_col,
+            "component_id",
+            score_col,
+            (F.row_number().over(w) == 1).alias("is_canonical"),
+        )
+    )
+
+
 def _span_keys(
     docs: DataFrame, text_col: str, id_col: str, window: int
 ) -> DataFrame:

@@ -2578,6 +2578,99 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_DK_AUG_DOCS}, {_DK_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               j -> list_min(list_transform(ss,
+                      s -> (s*(2*j+1) + (7919*j+1)) % 1000000007))) AS sig
+      FROM base),
+    banded AS (
+      SELECT doc_id, b AS band,
+             (((((sig[b*4+1]*131 + sig[b*4+2]) % 1000000007) * 131
+                + sig[b*4+3]) % 1000000007) * 131 + sig[b*4+4]) % 1000000007 AS bh
+      FROM sigs, unnest([0, 1, 2, 3]) t(b)),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+      WHERE l.doc_id < r.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN base a ON a.doc_id = c.id_a JOIN base b ON b.doc_id = c.id_b
+      WHERE round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                   / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6)
+            >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+      WHERE e.dst <> r.id),
+    comp AS (
+      SELECT id, least(id, min(peer)) AS component_id FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id,
+             CAST(round((0.4 * least(1.0, words / 50.0)
+                 + 0.4 * least(1.0, 10.0 * (CASE WHEN words = 0 THEN 0.0
+                                            ELSE sw_hits / words END))
+                 + 0.2 * (1.0 - least(1.0, 5.0 * coalesce(praw, 0.0))))
+                 * 1000000) AS BIGINT) AS score_micro
+      FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words,
+               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                 / nullif(length(text), 0) AS praw,
+               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> list_contains(['the','and','of','to','in'], x)))::DOUBLE AS sw_hits
+        FROM aug))
+    SELECT c.id AS doc_id, c.component_id, q.score_micro,
+           (row_number() OVER (PARTITION BY c.component_id
+                               ORDER BY q.score_micro DESC, c.id ASC) = 1)
+             AS is_canonical
+    FROM comp c JOIN q ON q.doc_id = c.id
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per near-dup cluster: verified MinHash-LSH pairs
+    → connected components → keep the highest-quality member (micro-int
+    quality score, ties to min id) — the keep/drop DECISION step of a
+    curation pipeline, composing three independently-proven operators
+    (q_dedup_minhash_lsh pairs, q_dedup_components closure,
+    q_quality_score scoring). Oracle replays the whole composition:
+    LSH candidate SQL + recursive-CTE closure + quality SQL + window
+    argmax. Components iterate over pair-touching nodes only (O(E), not
+    O(N)); the corpus is scanned once for scores."""
+    from stackai_vector_db_spark.functions.text import quality_score
+    from stackai_vector_db_spark.operators.dedup import (
+        canonical_by_quality,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _aug_docs(spark, sf_dir),
+        k=3,
+        n_hashes=16,
+        n_bands=4,
+        jaccard_threshold=0.5,
+        shingle_base=_shingle_base(spark, sf_dir),
+        band_index=_lsh_banded(spark, sf_dir),
+    ).select("id_a", "id_b")
+    docs_scored = _aug_docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(quality_score(F.col("text")) * 1000000.0)
+        .cast("long")
+        .alias("score_micro"),
+    )
+    return canonical_by_quality(docs_scored, pairs)
+
+
 _LSH_BANDED: dict = {}
 
 
@@ -3716,13 +3809,14 @@ SWEEP_ORDER = [
     "q_point_lookup", "q_filter_fk",
     "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
     "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
-    "q_count_by_group",
+    "q_dedup_canonical",
     # --- past 50: r4-green, next row in a later round's rotation ---
     # (q_cluster_stats / q_dirty_ratio moved here when the two span ids
-    #  took their top-50 slots: their r4 rows keep them inside the
-    #  union-of-last-two freshness rule through r5; rotate them back into
-    #  the top 50 in r6.)
-    "q_cluster_stats", "q_dirty_ratio",
+    #  took their top-50 slots — and q_count_by_group when
+    #  q_dedup_canonical took its slot for a first-ever row: their r4
+    #  rows keep them inside the union-of-last-two freshness rule
+    #  through r5; rotate them back into the top 50 in r6.)
+    "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
     "q_index_stats",
     "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
     "q_events_sliding", "q_events_dedup", "q_zorder_box",

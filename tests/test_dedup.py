@@ -99,6 +99,37 @@ def test_duplicate_components_long_chain_converges(spark):
     assert all(r["component_id"] == 0 for r in got)
 
 
+def test_canonical_by_quality_policy(spark):
+    """Per-cluster keep decisions: highest score wins, score ties fall to
+    the min id, singletons (no pair) are not emitted, and a transitive
+    3-chain elects exactly one canonical."""
+    from stackai_vector_db_spark.operators.dedup import canonical_by_quality
+
+    # cluster {1,2,3}: 2 has top score; cluster {6,7}: tie -> min id 6;
+    # 9 is a singleton (absent from pairs) and must not appear.
+    scored = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (6, 50), (7, 50), (9, 999)],
+        "doc_id long, score_micro long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 7)], "id_a long, id_b long"
+    )
+    rows = canonical_by_quality(scored, pairs).collect()
+    got = {r["doc_id"]: (r["component_id"], r["is_canonical"]) for r in rows}
+    assert got == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, False),
+        6: (6, True),
+        7: (6, False),
+    }
+    per_comp = {}
+    for r in rows:
+        per_comp.setdefault(r["component_id"], 0)
+        per_comp[r["component_id"]] += int(r["is_canonical"])
+    assert all(n == 1 for n in per_comp.values())
+
+
 def test_minhash_bucket_cap_is_subset_and_converges(spark):
     """The mega-bucket guard only ever drops pairs (capped output ⊆ uncapped)
     and a cap at/above the largest bucket is a no-op. Exact duplicates share
