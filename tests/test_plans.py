@@ -163,3 +163,20 @@ def test_span_dedup_single_scan_no_join(spark):
     import re
     read_cols = [set(re.findall(r"(\w+):", s)) for s in a["schemas"]]
     assert all(cols <= {"doc_id", "text"} for cols in read_cols)
+
+
+def test_dedup_canonical_broadcast_no_python(spark):
+    """Canonical selection joins the (small) component labels to the scored
+    corpus as a broadcast, never a shuffle join of the corpus; scoring is
+    native expressions (zero Python stages); the only shuffles are the
+    converged label-propagation aggregate and the per-component window.
+    Scans stay pruned to (doc_id, text)."""
+    a = _audit(spark, "q_dedup_canonical")
+    assert "SortMergeJoin" not in a["joins"]
+    assert "CartesianProduct" not in a["joins"]
+    assert a["python_stages"] == 0
+    assert a["shuffles"] <= 2
+    import re
+
+    read_cols = [set(re.findall(r"(\w+):", s)) for s in a["schemas"]]
+    assert all(cols <= {"doc_id", "text"} for cols in read_cols)

@@ -237,3 +237,57 @@ def test_span_dup_stats_matches_pure_python(spark, docs):
         nd = sum(1 for s in ss if len(docs_of[s]) >= 2)
         want[i] = (n, nd, nd * 1_000_000 // n)
     assert got == want
+
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)
+).filter(lambda e: e[0] != e[1])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_edge, min_size=1, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=16, max_size=16),
+)
+def test_canonical_by_quality_invariants(spark, edges, scores):
+    """For any pair graph and any (possibly tied) scores: exactly one
+    canonical per component, the canonical attains the component's max
+    score with the smallest id among the maximizers, every pair's two
+    endpoints land in the same component, and only pair-touching ids are
+    emitted — checked against a pure-Python union-find."""
+    from stackai_vector_db_spark.operators.dedup import canonical_by_quality
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    scored = spark.createDataFrame(
+        list(enumerate(scores)), "doc_id long, score_micro long"
+    )
+    got = canonical_by_quality(scored, pairs).collect()
+
+    parent = list(range(16))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    members: dict[int, list[int]] = {}
+    for v in touched:
+        members.setdefault(find(v), []).append(v)
+
+    assert {r["doc_id"] for r in got} == touched
+    by_doc = {r["doc_id"]: r for r in got}
+    for root, mem in members.items():
+        comp_ids = {by_doc[v]["component_id"] for v in mem}
+        assert comp_ids == {min(mem)}, "component = min reachable id"
+        canon = [v for v in mem if by_doc[v]["is_canonical"]]
+        best = max(scores[v] for v in mem)
+        want = min(v for v in mem if scores[v] == best)
+        assert canon == [want]
