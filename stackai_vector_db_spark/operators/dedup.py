@@ -602,6 +602,16 @@ def canonical_by_quality(
         .distinct()
     )
     comps = duplicate_components(nodes, pairs, id_col=id_col)
+    # Fail loudly if a pair-graph node is missing its score: an inner join
+    # would silently drop the member and possibly crown a lower-quality
+    # survivor — a keep/drop decision on incomplete data (round-5 review).
+    # comps is checkpoint-backed and O(E) rows, so this probe is cheap.
+    n_missing = comps.join(docs_scored, id_col, "left_anti").count()
+    if n_missing:
+        raise ValueError(
+            f"{n_missing} pair-graph ids have no row in docs_scored; "
+            "score every doc that appears in pairs before electing canonicals"
+        )
     w = Window.partitionBy("component_id").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )

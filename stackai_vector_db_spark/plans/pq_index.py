@@ -101,7 +101,14 @@ def load_or_rebuild(load, valid, build, persist):
     collision / shape mismatch ⇒ rebuild — never serve another corpus' or
     another configuration's bytes); ``build() -> artifact``;
     ``persist(artifact) -> None`` (may raise on an unwritable root)."""
-    art = load()
+    try:
+        art = load()
+    except Exception:
+        # A half-written artifact (process killed mid-write leaves only a
+        # _temporary/ dir → UNABLE_TO_INFER_SCHEMA) must trigger the same
+        # deterministic rebuild as a missing one, not poison the query
+        # path until someone hand-deletes the dir (round-5 review).
+        art = None
     if art is not None and not valid(art):
         art = None
     if art is None:

@@ -897,12 +897,19 @@ class VectorStore:
         counts the STAGED tmp write, not the incoming plan: callers pass
         unmaterialized join/agg plans, and a pre-write df.count() would
         evaluate each one twice (parquet row-count reads are footer
-        metadata — no second scan)."""
+        metadata — no second scan). The stage itself writes PARALLEL (no
+        coalesce) so an out-of-contract table is never funneled through
+        one writer before the guard fires (round-5 review); only the
+        guarded final rewrite single-writes, and a failed guard cleans up
+        its tmp dir."""
         tmp = path + "_tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.parquet(tmp)
         n = staged.count()
         if n > self.MAX_CONTROL_ROWS:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(
                 f"control table {path} has {n} rows (> {self.MAX_CONTROL_ROWS}); "
                 "single-writer metadata rewrite is out of contract at this size"

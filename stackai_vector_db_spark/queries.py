@@ -2136,22 +2136,31 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_quality_score",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
+# per-doc quality stats + score expression (mirrors functions.text
+# quality_score); shared by q_quality_score (round-6 double) and
+# q_dedup_canonical (micro-int) so the formula lives once (round-5
+# review; the q_domain_mix drift class).
+_DK_QSTATS_COLS = """doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words,
              len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
                / nullif(length(text), 0) AS praw,
              len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                 x -> list_contains(['the','and','of','to','in'], x)))::DOUBLE AS sw_hits
+                 x -> list_contains(['the','and','of','to','in'], x)))::DOUBLE AS sw_hits"""
+
+_DK_QSCORE_EXPR = """0.4 * least(1.0, words / 50.0)
+               + 0.4 * least(1.0, 10.0 * (CASE WHEN words = 0 THEN 0.0 ELSE sw_hits / words END))
+               + 0.2 * (1.0 - least(1.0, 5.0 * coalesce(praw, 0.0)))"""
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_DK_QSTATS_COLS}
       FROM documents)
     SELECT doc_id,
-           round(0.4 * least(1.0, words / 50.0)
-               + 0.4 * least(1.0, 10.0 * (CASE WHEN words = 0 THEN 0.0 ELSE sw_hits / words END))
-               + 0.2 * (1.0 - least(1.0, 5.0 * coalesce(praw, 0.0))), 6) AS score
+           round({_DK_QSCORE_EXPR}, 6) AS score
     FROM t
     """,
 )
@@ -2524,19 +2533,12 @@ _DK_SHINGLES = """
 """
 
 
-def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = d.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-    )
-    return d.unionByName(copies)
-
-
-@register(
-    "q_dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_DK_AUG_DOCS}, {_DK_SHINGLES},
+# MinHash signature → banded hash → deduped candidate pairs (mirrors
+# operators.dedup minhash_signature/band_hashes). ONE definition shared by
+# the three LSH oracles (full, incremental, canonical) so a formula fix
+# can never leave a copy stale (round-5 review; the q_domain_mix drift
+# class).
+_DK_LSH_CAND = """
     sigs AS (
       SELECT doc_id,
              list_transform(range(0, 16),
@@ -2553,12 +2555,29 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
       WHERE l.doc_id < r.doc_id
       GROUP BY 1, 2)
+"""
+
+# exact-Jaccard verify expression over the a/b shingle sets of a candidate
+_DK_JACCARD = """round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6)"""
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DK_AUG_DOCS}, {_DK_SHINGLES}, {_DK_LSH_CAND}
     SELECT c.id_a, c.id_b,
-           round(len(list_intersect(a.ss, b.ss))::DOUBLE
-                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+           {_DK_JACCARD} AS jaccard
     FROM cand c JOIN base a ON a.doc_id = c.id_a JOIN base b ON b.doc_id = c.id_b
-    WHERE round(len(list_intersect(a.ss, b.ss))::DOUBLE
-                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) >= 0.5
+    WHERE {_DK_JACCARD} >= 0.5
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2581,29 +2600,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_canonical",
     oracle=f"""
-    WITH RECURSIVE {_DK_AUG_DOCS}, {_DK_SHINGLES},
-    sigs AS (
-      SELECT doc_id,
-             list_transform(range(0, 16),
-               j -> list_min(list_transform(ss,
-                      s -> (s*(2*j+1) + (7919*j+1)) % 1000000007))) AS sig
-      FROM base),
-    banded AS (
-      SELECT doc_id, b AS band,
-             (((((sig[b*4+1]*131 + sig[b*4+2]) % 1000000007) * 131
-                + sig[b*4+3]) % 1000000007) * 131 + sig[b*4+4]) % 1000000007 AS bh
-      FROM sigs, unnest([0, 1, 2, 3]) t(b)),
-    cand AS (
-      SELECT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
-      WHERE l.doc_id < r.doc_id
-      GROUP BY 1, 2),
+    WITH RECURSIVE {_DK_AUG_DOCS}, {_DK_SHINGLES}, {_DK_LSH_CAND},
     pairs AS (
       SELECT c.id_a, c.id_b
       FROM cand c JOIN base a ON a.doc_id = c.id_a JOIN base b ON b.doc_id = c.id_b
-      WHERE round(len(list_intersect(a.ss, b.ss))::DOUBLE
-                   / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6)
-            >= 0.5),
+      WHERE {_DK_JACCARD} >= 0.5),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs),
@@ -2616,19 +2617,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, least(id, min(peer)) AS component_id FROM reach GROUP BY id),
     q AS (
       SELECT doc_id,
-             CAST(round((0.4 * least(1.0, words / 50.0)
-                 + 0.4 * least(1.0, 10.0 * (CASE WHEN words = 0 THEN 0.0
-                                            ELSE sw_hits / words END))
-                 + 0.2 * (1.0 - least(1.0, 5.0 * coalesce(praw, 0.0))))
-                 * 1000000) AS BIGINT) AS score_micro
+             CAST(round(({_DK_QSCORE_EXPR}) * 1000000) AS BIGINT) AS score_micro
       FROM (
-        SELECT doc_id,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS words,
-               len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
-                 / nullif(length(text), 0) AS praw,
-               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                   x -> list_contains(['the','and','of','to','in'], x)))::DOUBLE AS sw_hits
+        SELECT {_DK_QSTATS_COLS}
         FROM aug))
     SELECT c.id AS doc_id, c.component_id, q.score_micro,
            (row_number() OVER (PARTITION BY c.component_id
@@ -2746,29 +2737,11 @@ def _shingle_base(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 @register(
     "q_dedup_incremental",
     oracle=f"""
-    WITH {_DK_AUG_DOCS}, {_DK_SHINGLES},
-    sigs AS (
-      SELECT doc_id,
-             list_transform(range(0, 16),
-               j -> list_min(list_transform(ss,
-                      s -> (s*(2*j+1) + (7919*j+1)) % 1000000007))) AS sig
-      FROM base),
-    banded AS (
-      SELECT doc_id, b AS band,
-             (((((sig[b*4+1]*131 + sig[b*4+2]) % 1000000007) * 131
-                + sig[b*4+3]) % 1000000007) * 131 + sig[b*4+4]) % 1000000007 AS bh
-      FROM sigs, unnest([0, 1, 2, 3]) t(b)),
-    cand AS (
-      SELECT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
-      WHERE l.doc_id < r.doc_id
-      GROUP BY 1, 2)
+    WITH {_DK_AUG_DOCS}, {_DK_SHINGLES}, {_DK_LSH_CAND}
     SELECT c.id_a, c.id_b,
-           round(len(list_intersect(a.ss, b.ss))::DOUBLE
-                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) AS jaccard
+           {_DK_JACCARD} AS jaccard
     FROM cand c JOIN base a ON a.doc_id = c.id_a JOIN base b ON b.doc_id = c.id_b
-    WHERE round(len(list_intersect(a.ss, b.ss))::DOUBLE
-                 / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))), 6) >= 0.5
+    WHERE {_DK_JACCARD} >= 0.5
       AND c.id_b >= 1000000
     """,
 )

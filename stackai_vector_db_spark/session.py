@@ -21,8 +21,8 @@ def _default_driver_memory() -> str:
     Policy: 60% of MemAvailable (leaves room for Python workers + page
     cache), clamped to [4g, 31g] — 31g, NOT 32g, because HotSpot disables
     compressed oops at Xmx >= 32 GiB (Spark tuning guide), doubling
-    reference widths. A cgroup-v2 memory.max below MemAvailable wins.
-    Always overridable via SPARK_DRIVER_MEMORY."""
+    reference widths. Cgroup HEADROOM (cap minus current usage) below
+    MemAvailable wins. Always overridable via SPARK_DRIVER_MEMORY."""
     avail_gib = 8.0
     try:
         with open("/proc/meminfo") as f:
@@ -52,7 +52,13 @@ def _cgroup_memory_limit_bytes(
     memory.max reads 'max' (round-5 review: stopping at the first readable
     file re-opened the exact OOM-kill scenario this sizing guards
     against). Handles v2 (memory.max) and v1 (memory.limit_in_bytes,
-    where 'unlimited' shows up as a huge value)."""
+    where 'unlimited' shows up as a huge value).
+
+    Each cap is returned as HEADROOM — limit minus that cgroup's current
+    usage (v2 memory.current / v1 memory.usage_in_bytes) when readable —
+    not the raw limit: a 32 GiB slice with a 28 GiB sibling already in it
+    has 4 GiB to give, and sizing the heap off the raw cap would re-open
+    the OOM-kill scenario this function guards against (round-5 review)."""
 
     def read_limit(path: str) -> int | None:
         try:
@@ -67,6 +73,20 @@ def _cgroup_memory_limit_bytes(
         except ValueError:
             return None
         return None if val >= 2**60 else val  # v1 "unlimited" sentinel
+
+    _USAGE_FILE = {"memory.max": "memory.current",
+                   "memory.limit_in_bytes": "memory.usage_in_bytes"}
+
+    def read_headroom(dirpath: str, fname: str) -> int | None:
+        v = read_limit("/".join([dirpath, fname]))
+        if v is None:
+            return None
+        try:
+            with open("/".join([dirpath, _USAGE_FILE[fname]])) as f:
+                used = int(f.read().strip())
+        except (OSError, ValueError):
+            return v
+        return max(0, v - used)
 
     limits = []
     try:
@@ -87,16 +107,16 @@ def _cgroup_memory_limit_bytes(
             continue
         segs = [s for s in parts[2].split("/") if s]
         for i in range(len(segs), -1, -1):  # leaf, each ancestor, root
-            v = read_limit("/".join([base, *segs[:i], fname]))
+            v = read_headroom("/".join([base, *segs[:i]]), fname)
             if v is not None:
                 limits.append(v)
     # roots as a fallback when /proc/self/cgroup itself was unreadable
     if not lines:
-        for p in (
-            f"{v2_root}/memory.max",
-            f"{v1_root}/memory.limit_in_bytes",
+        for base, fname in (
+            (v2_root, "memory.max"),
+            (v1_root, "memory.limit_in_bytes"),
         ):
-            v = read_limit(p)
+            v = read_headroom(base, fname)
             if v is not None:
                 limits.append(v)
     return min(limits) if limits else None

@@ -418,3 +418,26 @@ def test_pq_artifacts_survive_readonly_root(spark, monkeypatch):
     codebooks, codes = Q._pq_artifacts(spark, SF_DIR)
     Q._PQ_ARTIFACTS.clear()
     assert codebooks.shape[0] == 8 and codes.count() > 0
+
+
+def test_load_or_rebuild_survives_corrupt_artifact():
+    """A half-written artifact dir (process killed mid-write leaves only a
+    _temporary/ subdir, which Spark reads as UNABLE_TO_INFER_SCHEMA) must
+    trigger the deterministic rebuild like a missing artifact — not poison
+    every query until the dir is hand-deleted (round-5 review)."""
+    from stackai_vector_db_spark.plans.pq_index import load_or_rebuild
+
+    calls = []
+
+    def corrupt_load():
+        calls.append("load")
+        raise RuntimeError("UNABLE_TO_INFER_SCHEMA: corrupt artifact dir")
+
+    art = load_or_rebuild(
+        corrupt_load,
+        valid=lambda a: True,
+        build=lambda: "built",
+        persist=lambda a: None,
+    )
+    assert art == "built"
+    assert calls == ["load", "load"]  # first load AND post-persist re-load

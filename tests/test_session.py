@@ -21,11 +21,28 @@ def test_cgroup_limit_caps_default(monkeypatch):
 
 
 def test_cgroup_limit_is_none_or_sane():
-    """On any host the resolver returns None (uncapped) or a real cap —
+    """On any host the resolver returns None (uncapped) or real headroom —
     never the v1 'unlimited' sentinel (a huge value), which must be
-    classified as no cap."""
+    classified as no cap. Headroom may legitimately read 0 on a full
+    cgroup (the 4g floor then applies)."""
     lim = session._cgroup_memory_limit_bytes()
-    assert lim is None or 0 < lim < 2**60
+    assert lim is None or 0 <= lim < 2**60
+
+
+def test_cgroup_headroom_subtracts_usage(tmp_path):
+    """The effective figure is limit MINUS current usage: a 32 GiB slice
+    with 28 GiB already used by a sibling has 4 GiB to give — sizing off
+    the raw cap would OOM-kill the JVM as its heap fills."""
+    v2 = tmp_path / "cg2"
+    (v2 / "slice").mkdir(parents=True)
+    (v2 / "slice" / "memory.max").write_text(str(32 * 2**30))
+    (v2 / "slice" / "memory.current").write_text(str(28 * 2**30))
+    proc = tmp_path / "cgroup"
+    proc.write_text("0::/slice\n")
+    lim = session._cgroup_memory_limit_bytes(
+        proc_path=str(proc), v2_root=str(v2), v1_root=str(tmp_path / "none")
+    )
+    assert lim == 4 * 2**30
 
 
 def test_cgroup_ancestor_cap_binds(tmp_path):

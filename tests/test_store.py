@@ -786,3 +786,9 @@ def test_control_rewrite_size_guard(spark, store):
     # within contract: still writes fine
     store._write_dirty(big.limit(3))
     assert spark.read.parquet(store._dirty_path()).count() == 3
+    # a failed guard must not leave its staging dir behind (round-5
+    # review: the stage is parallel, so even an out-of-contract table is
+    # never funneled through one writer — and its tmp dir is removed)
+    import os
+
+    assert not os.path.exists(store._dirty_path() + "_direct_tmp")
