@@ -900,21 +900,24 @@ class VectorStore:
         metadata — no second scan). The stage itself writes PARALLEL (no
         coalesce) so an out-of-contract table is never funneled through
         one writer before the guard fires (round-5 review); only the
-        guarded final rewrite single-writes, and a failed guard cleans up
-        its tmp dir."""
+        guarded final rewrite single-writes, and the tmp dir is removed on
+        BOTH exits — a failed guard and a completed rewrite (round-5
+        advisor: leaving it after success doubles control-table storage on
+        every rewrite, indefinitely)."""
+        import shutil
+
         tmp = path + "_tmp"
         df.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.parquet(tmp)
         n = staged.count()
         if n > self.MAX_CONTROL_ROWS:
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(
                 f"control table {path} has {n} rows (> {self.MAX_CONTROL_ROWS}); "
                 "single-writer metadata rewrite is out of contract at this size"
             )
         staged.coalesce(1).write.mode("overwrite").parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- document entities (reference routers/documents.py) ---------------
 

@@ -76,6 +76,25 @@ def _cgroup_memory_limit_bytes(
 
     _USAGE_FILE = {"memory.max": "memory.current",
                    "memory.limit_in_bytes": "memory.usage_in_bytes"}
+    # usage counters include reclaimable page cache, so on a cgroup that
+    # has done heavy I/O limit−usage reads near zero even though the
+    # kernel would reclaim that cache under pressure (round-5 advisor:
+    # this undersized the heap to the 4g floor on cache-heavy hosts).
+    # memory.stat's inactive_file (v2) / total_inactive_file (v1) is the
+    # immediately-reclaimable slice — subtract it from usage first.
+    _STAT_KEY = {"memory.max": "inactive_file",
+                 "memory.limit_in_bytes": "total_inactive_file"}
+
+    def read_reclaimable(dirpath: str, fname: str) -> int:
+        key = _STAT_KEY[fname] + " "
+        try:
+            with open("/".join([dirpath, "memory.stat"])) as f:
+                for line in f:
+                    if line.startswith(key):
+                        return int(line.split()[1])
+        except (OSError, ValueError, IndexError):
+            pass
+        return 0
 
     def read_headroom(dirpath: str, fname: str) -> int | None:
         v = read_limit("/".join([dirpath, fname]))
@@ -86,6 +105,7 @@ def _cgroup_memory_limit_bytes(
                 used = int(f.read().strip())
         except (OSError, ValueError):
             return v
+        used = max(0, used - read_reclaimable(dirpath, fname))
         return max(0, v - used)
 
     limits = []

@@ -99,6 +99,24 @@ def test_duplicate_components_long_chain_converges(spark):
     assert all(r["component_id"] == 0 for r in got)
 
 
+def test_duplicate_components_raises_on_max_iter_exhaustion(spark):
+    """A chain deeper than max_iter must RAISE, not return a silently
+    split clustering — downstream canonical selection would elect one
+    keeper per fragment, a keep/drop decision on wrong clusters
+    (round-5 advisor finding)."""
+    import pytest
+
+    from stackai_vector_db_spark.operators.dedup import duplicate_components
+
+    n = 30  # path graph, diameter 29 — needs ~29 min-propagation rounds
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(ids, pairs, max_iter=3).collect()
+
+
 def test_canonical_by_quality_policy(spark):
     """Per-cluster keep decisions: highest score wins, score ties fall to
     the min id, singletons (no pair) are not emitted, and a transitive

@@ -169,9 +169,20 @@ def test_dedup_canonical_broadcast_no_python(spark):
     """Canonical selection joins the (small) component labels to the scored
     corpus as a broadcast, never a shuffle join of the corpus; scoring is
     native expressions (zero Python stages); the only shuffles are the
-    converged label-propagation aggregate and the per-component window.
-    Scans stay pruned to (doc_id, text)."""
-    a = _audit(spark, "q_dedup_canonical")
+    converged label-propagation aggregate and the per-component min_by
+    argmax (a hash aggregate with map-side partial reduce — no window, no
+    sort; the winners join back as a broadcast). Scans stay pruned to
+    (doc_id, text).
+
+    Audited POST-execution: the winners' size is only known at runtime
+    (aggregate output has no static stats), so the broadcast conversion is
+    AQE's — exactly the mechanism that would skew-split this join on a
+    mega-cluster at scale; the initial static plan legitimately says SMJ.
+    (collect(), not count(): count() builds a NEW query execution, leaving
+    this df's own adaptive plan unexecuted and non-final.)"""
+    df = REGISTRY["q_dedup_canonical"].fn(spark, SF_DIR)
+    assert len(df.collect()) > 0
+    a = audit(df)
     assert "SortMergeJoin" not in a["joins"]
     assert "CartesianProduct" not in a["joins"]
     assert a["python_stages"] == 0

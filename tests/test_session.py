@@ -45,6 +45,30 @@ def test_cgroup_headroom_subtracts_usage(tmp_path):
     assert lim == 4 * 2**30
 
 
+def test_cgroup_headroom_ignores_reclaimable_cache(tmp_path):
+    """Usage counters include page cache the kernel would reclaim under
+    pressure: a cgroup that just streamed 26 GiB of parquet through the
+    page cache reads memory.current ≈ limit even though almost all of it
+    is inactive_file. Headroom must discount that slice, or the heap gets
+    floored to 4g on exactly the I/O-heavy hosts that need it most
+    (round-5 advisor finding)."""
+    v2 = tmp_path / "cg2"
+    (v2 / "slice").mkdir(parents=True)
+    (v2 / "slice" / "memory.max").write_text(str(32 * 2**30))
+    (v2 / "slice" / "memory.current").write_text(str(30 * 2**30))
+    (v2 / "slice" / "memory.stat").write_text(
+        f"anon {4 * 2**30}\nfile {26 * 2**30}\ninactive_file {26 * 2**30}\n"
+        f"active_file 0\n"
+    )
+    proc = tmp_path / "cgroup"
+    proc.write_text("0::/slice\n")
+    lim = session._cgroup_memory_limit_bytes(
+        proc_path=str(proc), v2_root=str(v2), v1_root=str(tmp_path / "none")
+    )
+    # used = 30 GiB current − 26 GiB reclaimable = 4 GiB → headroom 28 GiB
+    assert lim == 28 * 2**30
+
+
 def test_cgroup_ancestor_cap_binds(tmp_path):
     """A cap on a PARENT slice must bind even when the leaf's own
     memory.max reads 'max' (the systemd-slice/pod layout): the resolver

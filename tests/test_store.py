@@ -779,16 +779,24 @@ def test_control_rewrite_size_guard(spark, store):
     big = spark.range(11).select(
         F.col("id").alias("library_id"), F.lit(1).alias("dirty_count")
     )
-    with pytest.raises(RuntimeError, match="out of contract"):
-        store._write_dirty(big)
-    with pytest.raises(RuntimeError, match="out of contract"):
-        store._rewrite_control(big, store._dirty_path() + "_direct")
-    # within contract: still writes fine
-    store._write_dirty(big.limit(3))
-    assert spark.read.parquet(store._dirty_path()).count() == 3
-    # a failed guard must not leave its staging dir behind (round-5
-    # review: the stage is parallel, so even an out-of-contract table is
-    # never funneled through one writer — and its tmp dir is removed)
     import os
 
+    with pytest.raises(RuntimeError, match="out of contract"):
+        store._write_dirty(big)
+    # a failed guard must not leave its staging dir behind (round-5
+    # review: the stage is parallel, so even an out-of-contract table is
+    # never funneled through one writer — and its tmp dir is removed).
+    # Checked IMMEDIATELY after the failing call and on the exact suffix
+    # _rewrite_control stages to (round-5 advisor: the old assert ran
+    # after a successful rewrite and on a different path, so it held
+    # vacuously).
+    assert not os.path.exists(store._dirty_path() + "_tmp")
+    with pytest.raises(RuntimeError, match="out of contract"):
+        store._rewrite_control(big, store._dirty_path() + "_direct")
     assert not os.path.exists(store._dirty_path() + "_direct_tmp")
+    # within contract: still writes fine — and the SUCCESS path must also
+    # remove its staging copy (round-5 advisor: leaving it doubles
+    # control-table storage on every rewrite)
+    store._write_dirty(big.limit(3))
+    assert spark.read.parquet(store._dirty_path()).count() == 3
+    assert not os.path.exists(store._dirty_path() + "_tmp")
