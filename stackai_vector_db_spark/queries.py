@@ -2069,10 +2069,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    # No repartition before scoring: per-row scoring cost here is comparable
-    # to a text-body exchange, so a round-robin repartition would trade a
-    # free map-side stage for a 100 TB shuffle. At scale the input is many
-    # files and the scoring stage parallelizes on natural splits.
+    # Round-robin repartition for the SAME reason q_repetition_stats does
+    # it: the fixture is ONE parquet file/row-group, so without it the
+    # entire scoring stage runs as a single task — measured 2.0-5.1 s
+    # serial (and the bench's noisiest query, since one busy core is a
+    # 5× hit) vs 1.1-2.0 s spread across cores, while the exchange itself
+    # moves ~1.5 MB. At 100 TB the input is thousands of natural splits
+    # and the repartition is dropped; per-row scoring cost never warrants
+    # a body shuffle when the scan already parallelizes.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     # Dedup key = sha2(text): the document body is scored map-side and then
     # DROPPED before the dedup exchange — only (32-byte key, id, lang, score,
     # words) shuffle. Same groups as keying on text (no collisions at any

@@ -1,0 +1,97 @@
+"""Dedup-stack scale probe: MinHash-LSH pair generation, canonical
+selection, and span-level dedup on the deterministic ``fake_corpus``
+source at an arbitrary document count — the decade-up evidence behind the
+README's scale table (250k → 1.25M → 2.5M → 5M rows). Prints one JSON
+line; per-phase PROBE lines stream to stderr so a run that dies mid-way
+still reports completed phases.
+
+Pair/member/dup counts are pure functions of ndocs (generator and hash
+arithmetic are seed-free deterministic), so they reproduce exactly across
+hosts — wall-clocks carry the host-noise band, the counts are the stable
+part of the measurement.
+
+Usage: python tools/dedup_scale_probe.py [ndocs] [phases]
+  phases: comma-set of {pairs,canonical,span}; default all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stackai_vector_db_spark.session import get_spark  # noqa: E402
+from stackai_vector_db_spark.functions.text import quality_score  # noqa: E402
+from stackai_vector_db_spark.operators.dedup import (  # noqa: E402
+    canonical_by_quality,
+    minhash_lsh_pairs,
+    span_dup_stats,
+)
+from stackai_vector_db_spark.sources.fake_corpus import register  # noqa: E402
+
+
+def main() -> None:
+    ndocs = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+    phases = set(
+        (sys.argv[2] if len(sys.argv) > 2 else "pairs,canonical,span").split(",")
+    )
+    spark = get_spark(app_name="dedup-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    register(spark)
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.format("fake_corpus")
+        .option("n", ndocs)
+        .option("partitions", par)
+        .load()
+        .persist()
+    )
+    docs.count()
+    spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
+
+    out: dict = {"ndocs": ndocs}
+
+    def report(key, value):
+        out[key] = value
+        print(f"PROBE {key}={value}", file=sys.stderr, flush=True)
+
+    if phases & {"pairs", "canonical"}:
+        t0 = time.perf_counter()
+        pairs = (
+            minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+            .select("id_a", "id_b")
+            .persist()
+        )
+        report("pairs", pairs.count())
+        report("pairs_s", round(time.perf_counter() - t0, 3))
+
+    if "canonical" in phases:
+        scored = docs.select(
+            "doc_id",
+            F.round(quality_score(F.col("text")) * 1000000.0)
+            .cast("long")
+            .alias("score_micro"),
+        )
+        t0 = time.perf_counter()
+        canon = canonical_by_quality(scored, pairs).persist()
+        report("members", canon.count())
+        report("canonical_s", round(time.perf_counter() - t0, 3))
+        report("kept_canonicals", canon.filter("is_canonical").count())
+
+    if "span" in phases:
+        t0 = time.perf_counter()
+        span = span_dup_stats(docs, window=8)
+        report("span_docs_dup", span.filter("n_dup_spans > 0").count())
+        report("span_s", round(time.perf_counter() - t0, 3))
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
