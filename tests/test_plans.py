@@ -165,6 +165,23 @@ def test_span_dedup_single_scan_no_join(spark):
     assert all(cols <= {"doc_id", "text"} for cols in read_cols)
 
 
+def test_corpus_pipeline_one_scan_no_python(spark):
+    """The flagship curation pipeline stays ONE corpus scan with zero
+    Python stages and no joins; its shuffles are the fixture-only
+    round-robin spread (dropped at scale where the input has natural
+    splits), the sha2-keyed dedup exchange (bodies dropped first), and
+    the final agg. Scan pruned to (doc_id, text, lang)."""
+    a = _audit(spark, "q_corpus_pipeline")
+    assert len(a["schemas"]) == 1, "corpus must be scanned exactly once"
+    assert a["joins"] == []
+    assert a["python_stages"] == 0
+    assert a["shuffles"] <= 3
+    import re
+
+    read_cols = [set(re.findall(r"(\w+):", s)) for s in a["schemas"]]
+    assert all(cols <= {"doc_id", "text", "lang"} for cols in read_cols)
+
+
 def test_dedup_canonical_broadcast_no_python(spark):
     """Canonical selection joins the (small) component labels to the scored
     corpus as a broadcast, never a shuffle join of the corpus; scoring is

@@ -37,6 +37,23 @@ def test_rows_only_set_is_closed():
     )
 
 
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list must name real registry ids — the bench
+    loop skips unknown names silently (REGISTRY.get → continue), so a
+    renamed query would quietly drop out of the recorded BENCH total and
+    read as a speedup."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"HEADLINE names not in REGISTRY: {missing}"
+
+
 def test_unproven_ids_lead_the_sweep():
     """The driver records at most 50 correctness rows per round; the ids
     whose latest driver row is OLDEST must sit inside the budget (proof
