@@ -832,6 +832,7 @@ def incremental_span_dup_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
+    known_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Span-dup stats for a NEW batch against an already-indexed corpus —
     the daily-increment shape: work scales with the BATCH, never the
@@ -845,9 +846,17 @@ def incremental_span_dup_stats(
     the only added cost is one equi-join of the batch's reduced (key, doc)
     rows against the index — with the index stored ``bucketBy(__key)``
     only the batch side shuffles. Old×old relationships were decided when
-    the index was built and are never re-derived."""
+    the index was built and are never re-derived.
+
+    ``known_ids`` (the indexed corpus's id sidecar, as in
+    :func:`merge_span_index`) drops re-ingested batch docs by
+    ``left_anti`` before scoring — without it a doc already in the index
+    would count ITS OWN stored spans as cross-doc duplicates (every span
+    hits ``nd_old ≥ 1``) and score dup_span_micro = 1.0 spuriously."""
     from pyspark.sql.window import Window as W
 
+    if known_ids is not None:
+        new_docs = new_docs.join(known_ids.select(id_col), id_col, "left_anti")
     per_doc_key = _span_rollup(new_docs, text_col, id_col, window)
     nd_batch = F.count(F.lit(1)).over(W.partitionBy("__key"))
     batch_side = per_doc_key.select(

@@ -445,3 +445,37 @@ def test_merge_span_index_rejects_reingested_ids(spark):
         for r in merge_span_index(index, batch, window=w).collect()
     }
     assert inflated != expected
+
+
+def test_incremental_span_stats_rejects_reingested_ids(spark):
+    """Same gate on the stats path: a re-ingested doc scored against the
+    index that already contains it would match its own stored spans
+    (nd_old >= 1 for every span) and read as 100% duplicated. With
+    known_ids it is dropped from the batch; genuinely new docs score
+    unchanged."""
+    from stackai_vector_db_spark.operators.dedup import (
+        build_span_index,
+        incremental_span_dup_stats,
+    )
+
+    w = 3
+    old = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "p q r s t")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "u v w x y")], "doc_id long, text string"
+    )
+    index = build_span_index(old, window=w)
+
+    guarded = {
+        r.doc_id: r.n_dup_spans
+        for r in incremental_span_dup_stats(
+            batch, index, window=w, known_ids=old.select("doc_id")
+        ).collect()
+    }
+    assert guarded == {2: 0}  # doc 1 dropped; doc 2 shares nothing
+    unguarded = {
+        r.doc_id: r.n_dup_spans
+        for r in incremental_span_dup_stats(batch, index, window=w).collect()
+    }
+    assert unguarded[1] == 3  # self-match: every span of doc 1 reads as dup
