@@ -604,14 +604,15 @@ def canonical_by_quality(
     after exact dedup) — never over all N docs. The score join then
     touches only cluster members, so the full corpus is scanned exactly
     once (to produce ``docs_scored``, where the scorer can prune to the
-    two needed columns). The per-cluster argmax is a hash AGGREGATE
-    (``min_by`` over the (−score, id) order key), not a row_number
-    window: the aggregate partially reduces map-side, so a pathological
-    mega-cluster arrives at its reducer as one row per upstream
-    partition instead of every member queuing for a single-partition
-    sort — and the join that marks winners back onto members is a join,
-    which AQE can skew-split (a window cannot be). One winner per
-    cluster, O(#components) rows, broadcast back at test scale.
+    two needed columns). The per-cluster argmax is an AGGREGATE
+    (``min_by`` over the (−score, id) order key; the struct buffer makes
+    Spark plan it as SortAggregate), not a row_number window: the
+    aggregate partially reduces map-side, so a pathological mega-cluster
+    arrives at its reducer as one row per upstream partition instead of
+    every member queuing for a single-partition sort — and the join that
+    marks winners back onto members is a join, which AQE can skew-split
+    (a window cannot be). One winner per cluster, O(#components) rows,
+    broadcast back at test scale.
 
     Ties break by min id AFTER integer rounding, so the decision is
     deterministic and replayable in ANSI SQL (driver oracle). Returns

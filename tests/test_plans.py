@@ -187,9 +187,9 @@ def test_dedup_canonical_broadcast_no_python(spark):
     corpus as a broadcast, never a shuffle join of the corpus; scoring is
     native expressions (zero Python stages); the only shuffles are the
     converged label-propagation aggregate and the per-component min_by
-    argmax (a hash aggregate with map-side partial reduce — no window, no
-    sort; the winners join back as a broadcast). Scans stay pruned to
-    (doc_id, text).
+    argmax (an aggregate with map-side partial reduce — no window, no
+    single-partition sort; the winners join back as a broadcast). Scans
+    stay pruned to (doc_id, text).
 
     Audited POST-execution: the winners' size is only known at runtime
     (aggregate output has no static stats), so the broadcast conversion is
