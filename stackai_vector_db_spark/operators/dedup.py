@@ -507,6 +507,14 @@ def ngram_jaccard_pairs(
     )
 
 
+# Rounds executed by the most recent duplicate_components call (update
+# rounds + the final fixed-point observation round). Read by the plan
+# audit (tools/explain_audit.py "rounds" column) and pinned by
+# tests/test_plans.py so a round-count regression in the iterative family
+# is as visible as a shuffle-count regression.
+LAST_ROUNDS: int | None = None
+
+
 def duplicate_components(
     ids: DataFrame,
     pairs: DataFrame,
@@ -520,49 +528,79 @@ def duplicate_components(
     in one cluster even when A≁C; keep the canonical min-id member, drop
     the rest).
 
-    Min-id label propagation: every node starts as its own component; each
-    round every node takes the min of its own label and its neighbors'
-    labels. Converges in graph-diameter rounds (near-dup clusters are
-    shallow — pathological chains are bounded by ``max_iter``); each round
-    is one join + one min-aggregate, both on (id, label) pairs only, so a
-    round's shuffle is O(V+E) regardless of payload width.
-    ``localCheckpoint`` cuts lineage so plans don't nest per iteration.
+    Min-id label propagation WITH pointer doubling: every node starts as
+    its own component; each round every node (1) takes the min of its own
+    label and its neighbors' labels, then (2) shortcuts to its label's
+    label (``comp ← labels[comp]`` — valid because a label is always the
+    id of a node in the same component, and monotone because labels only
+    decrease). Propagation alone needs graph-diameter rounds; the
+    shortcut makes the reachable-min horizon DOUBLE per round
+    (``2^r − 1`` after r rounds on a path — the pointer-jumping bound),
+    so convergence is ``⌈log2(diameter+1)⌉`` update rounds plus one
+    fixed-point observation round. That log is what kept the 5M-doc /
+    96.5M-edge probe superlinear in round 6 (O(diameter) rounds, each a
+    job barrier); the shortcut adds one O(V) hash join per round to an
+    O(V+E) round — cheap, since E ≫ V on every real dup graph. Each
+    round still shuffles only (id, label) pairs regardless of payload
+    width; ``localCheckpoint`` cuts lineage so plans don't nest per
+    iteration, and the shortcut joins the PREVIOUS round's checkpointed
+    labels, so no subtree is ever computed twice.
 
-    The convergence check is fused into the propagation round: the
-    round's select carries a ``__chg`` flag (did this node's label
-    decrease?), so after the ``localCheckpoint`` materializes the round,
-    "did anything change" is a filter-count SCAN of the checkpointed
-    labels — no second join, no extra shuffle, and no skipped-round
-    scheme (an every-k probe was measured at 2.5M docs and LOST: it
-    saved O(V) count jobs but paid up to one extra O(E) propagation
-    round, and E ≫ V on every real dup graph). Exhausting ``max_iter``
-    with changes still flowing RAISES rather than returning a
-    silently-split clustering: a chain deeper than max_iter would
-    otherwise split one cluster into several components and elect
-    multiple canonicals — a keep/drop decision on wrong clusters
-    (round-5 advisor).
+    The convergence check is fused into the round: the round's select
+    carries a ``__chg`` flag (did this node's label decrease?), so after
+    the ``localCheckpoint`` materializes the round, "did anything change"
+    is a filter-count SCAN of the checkpointed labels — no second join,
+    no extra shuffle. A zero-change round is a propagation fixed point
+    (the shortcut can only fire if propagation did), which for min-label
+    propagation means labels are constant per component and equal the
+    component min. Because observing convergence takes one round AFTER
+    the last update, the loop runs up to ``max_iter`` UPDATE rounds plus
+    one observation round before raising (round-6 advisor: a graph whose
+    labels converge exactly on round max_iter must not raise). Exhausting
+    that with changes still flowing RAISES rather than returning a
+    silently-split clustering — a chain deeper than the doubling horizon
+    would otherwise split one cluster into several components and elect
+    multiple canonicals (round-5 advisor).
 
     Returns ``(id_col, component_id)`` covering every id in ``ids`` —
     singletons map to themselves. Deterministic: min is order-free.
     No reference counterpart (extension operator).
     """
+    global LAST_ROUNDS
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).persist()
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     converged = False
-    for _ in range(max_iter):
+    rounds = 0
+    # max_iter update rounds + 1: the final iteration either observes the
+    # fixed point (changed == 0 → converged) or proves divergence.
+    for rounds in range(1, max_iter + 2):
         prop = (
             edges.join(labels.select(F.col("id").alias("src"), "comp"), "src")
             .select(F.col("dst").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = labels.join(prop, "id", "left").select(
+        stepped = labels.join(prop, "id", "left").select(
             "id",
-            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-            (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias("__chg"),
+            "comp",
+            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("__c1"),
+        )
+        # Pointer doubling: shortcut each node to its (propagated) label's
+        # label from the previous checkpointed round. labels[x] ≤ x always,
+        # so least() is belt-and-braces; the left join always matches
+        # because every label value is a node id present in `labels`.
+        jump = labels.select(F.col("id").alias("__c1"), F.col("comp").alias("__c2"))
+        new_labels = stepped.join(jump, "__c1", "left").select(
+            "id",
+            F.least(F.col("__c1"), F.coalesce("__c2", F.col("__c1"))).alias("ncomp2"),
+            F.col("comp").alias("__c0"),
+        ).select(
+            "id",
+            F.col("ncomp2").alias("comp"),
+            (F.col("ncomp2") < F.col("__c0")).alias("__chg"),
         )
         new_labels = new_labels.localCheckpoint()
         changed = new_labels.filter("__chg").count()
@@ -571,12 +609,14 @@ def duplicate_components(
             converged = True
             break
     edges.unpersist()
+    LAST_ROUNDS = rounds
     if not converged:
         raise RuntimeError(
             f"duplicate_components did not converge within max_iter={max_iter} "
-            "rounds — the pair graph has a chain deeper than max_iter, and "
-            "returning now would split one duplicate cluster into several. "
-            "Raise max_iter (rounds needed = graph diameter)."
+            "update rounds (+1 observation round) — the pair graph has a chain "
+            "deeper than the pointer-doubling horizon, and returning now would "
+            "split one duplicate cluster into several. Raise max_iter (rounds "
+            "needed ≈ ceil(log2(diameter + 1)) + 1)."
         )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
 
@@ -629,17 +669,22 @@ def canonical_by_quality(
         .distinct()
     )
     comps = duplicate_components(nodes, pairs, id_col=id_col, max_iter=max_iter)
-    # Fail loudly if a pair-graph node is missing its score: an inner join
-    # would silently drop the member and possibly crown a lower-quality
-    # survivor — a keep/drop decision on incomplete data (round-5 review).
-    # comps is checkpoint-backed and O(E) rows, so this probe is cheap.
-    n_missing = comps.join(docs_scored, id_col, "left_anti").count()
-    if n_missing:
+    # Fail loudly if a pair-graph node is missing its score OR carries a
+    # NULL score: an inner join would silently drop an unscored member,
+    # and a NULL score would sort as the MINIMUM (−score) struct key and
+    # WIN the min_by election — either way a keep/drop decision on bad
+    # data (round-5 review; round-6 advisor for the NULL case). One left
+    # join covers both: an absent row and a NULL score both surface as
+    # score IS NULL. comps is checkpoint-backed and O(E) rows, so the
+    # probe is cheap, and the validated frame doubles as `members`.
+    members = comps.join(docs_scored, id_col, "left")
+    n_bad = members.filter(F.col(score_col).isNull()).count()
+    if n_bad:
         raise ValueError(
-            f"{n_missing} pair-graph ids have no row in docs_scored; "
-            "score every doc that appears in pairs before electing canonicals"
+            f"{n_bad} pair-graph ids have no row in docs_scored or a NULL "
+            f"{score_col}; score every doc that appears in pairs before "
+            "electing canonicals"
         )
-    members = comps.join(docs_scored, id_col)
     # min of (−score, id) ≡ argmax by (score desc, id asc) — one orderable
     # struct key so a single min_by carries both the score and the
     # deterministic tiebreak through partial aggregation.

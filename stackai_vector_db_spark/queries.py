@@ -1841,6 +1841,13 @@ def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental span dedup: augmented copies (every 50th doc + ' extra',
     re-identified past 1e6) arrive as a NEW batch and are scored against
     the stored span index of the original corpus — no corpus re-scan. The
+    batch ALSO re-submits every 75th ORIGINAL doc verbatim (id unchanged)
+    and passes the index's ``known_ids`` sidecar, so the re-ingestion gate
+    is exercised in the oracle flow, not only in unit tests (round-6
+    brief): the gate drops the re-ingested rows before scoring; were it
+    broken, they would score dup_span_micro = 1e6 against their own
+    stored spans and surface as sub-1e6 doc_ids the oracle (WHERE
+    doc_id >= 1000000) doesn't have — a red row, not a silent pass. The
     oracle is the full union-corpus SQL filtered to new ids: exactness of
     the batch ∪-decomposition IS the claim (every 8-token span of a copy
     already exists in its original, so copies score fully duplicated
@@ -1853,9 +1860,13 @@ def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     old = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    new = old.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    new = (
+        old.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        .unionByName(old.filter(F.col("doc_id") % 75 == 0))
     )
     app = spark.sparkContext.applicationId
     index = _persist_slot(
@@ -1863,7 +1874,9 @@ def q_span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_span_index(old, window=SPAN_WINDOW),
     )
     index.count()
-    return incremental_span_dup_stats(new, index, window=SPAN_WINDOW)
+    return incremental_span_dup_stats(
+        new, index, window=SPAN_WINDOW, known_ids=old.select("doc_id")
+    )
 
 
 @register(
@@ -2074,10 +2087,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entire scoring stage runs as a single task — measured 2.0-5.1 s
     # serial (and the bench's noisiest query, since one busy core is a
     # 5× hit) vs 1.1-2.0 s spread across cores, while the exchange itself
-    # moves ~1.5 MB. At 100 TB the input is thousands of natural splits
-    # and the repartition is dropped; per-row scoring cost never warrants
-    # a body shuffle when the scan already parallelizes.
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # moves ~1.5 MB. GATED on scan parallelism (round-6 advisor: an
+    # unconditional call would force a full text-body shuffle at 100 TB,
+    # where the input already arrives as thousands of natural splits and
+    # per-row scoring never warrants a body exchange) — with enough input
+    # splits the plan has no repartition at all.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     # Dedup key = sha2(text): the document body is scored map-side and then
     # DROPPED before the dedup exchange — only (32-byte key, id, lang, score,
     # words) shuffle. Same groups as keying on text (no collisions at any

@@ -49,7 +49,16 @@ def test_bench_headline_names_are_registered():
         "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
     )
     bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    # bench.py setdefaults SPARK_DRIVER_MEMORY=24g at import time (its heap
+    # pin); snapshot/restore the environment so a Spark session created
+    # later in this pytest process doesn't inherit a bench-sized heap on a
+    # smaller host (round-6 advisor).
+    env_before = os.environ.copy()
+    try:
+        spec.loader.exec_module(bench)
+    finally:
+        os.environ.clear()
+        os.environ.update(env_before)
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"HEADLINE names not in REGISTRY: {missing}"
 
