@@ -3777,43 +3777,18 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   most one round old, so the 50 slots alternate between the two halves
 #   of the registry each round (union of the last two driver files covers
 #   all 83 ids).
-#   positions 1-33 (r6): exactly the ids whose latest driver row is r4 —
-#     rotated out of r5's count-capped file, re-verified green by the r5
-#     judge's strict local sweep, now due their fresh row. Cheap
-#     scan/agg ids first as insurance.
-#   positions 34-41: consecutive-round confirmation rows for the five ids
-#     hash-promoted in r5 (PQ family + q_kmeans_build) and the three
-#     first-ever-green span/canonical ids — q_dedup_canonical and
-#     q_dedup_components also changed implementation this round (max_by
-#     argmax; convergence-check cadence), so their r6 rows re-prove the
-#     new plans.
-#   positions 42-50: q_domain_mix (oracle rewritten in r5 — one
-#     confirmation row) plus the §2-core insurance set.
-#   past 50: r5-green ids that can wait a round; rotate back in r7.
+#   positions 1-33 (r7): exactly the ids whose latest driver row is r5 —
+#     rotated out of r6's count-capped file, re-verified green by the r6
+#     judge's strict local sweep, now due their fresh row.
+#   positions 34-37: ids whose implementation or fixture changed in r7
+#     (pointer-doubling duplicate_components; null-score-guarded
+#     canonical; the re-ingestion-gated incremental-span fixture; the
+#     gated corpus-pipeline repartition) — their r7 rows prove the NEW
+#     plans, not just freshness.
+#   positions 38-50: §2-core + flagship insurance (r6-green, cheap rows).
+#   past 50: r6-green ids that can wait a round; rotate back in r8.
 SWEEP_ORDER = [
-    # --- 1-33: latest driver row is r4 — refresh first ---
-    "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
-    "q_index_stats", "q_dim_check", "q_pagination",
-    "q_sample_hash", "q_except_deleted",
-    "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
-    "q_events_sliding", "q_events_dedup", "q_zorder_box",
-    "q_multimodal_features", "q_stratified_sample", "q_join_hits_chunks",
-    "q_embed_knn_e2e", "q_decontaminate", "q_simhash_near",
-    "q_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_cosine",
-    "q_dedup_incremental", "q_dedup_embed_incremental",
-    "q_assign_centroid", "q_ivf_probe_topk", "q_corpus_pipeline",
-    "q_knn_graph", "q_dedup_components",
-    "q_curation_e2e", "q_repetition_stats",
-    # --- 34-41: r5 promotions/new ids — consecutive-round confirmation ---
-    "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_topk",
-    "q_ivf_pq_residual_topk", "q_kmeans_build",
-    "q_span_dedup", "q_span_dedup_incremental", "q_dedup_canonical",
-    # --- 42-50: changed-oracle confirmation + §2-core insurance ---
-    "q_domain_mix",
-    "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
-    "q_point_lookup", "q_filter_fk",
-    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
-    # --- past 50: r5-green, next row in r7's rotation ---
+    # --- 1-33: latest driver row is r5 — refresh first (r7 rotation) ---
     "q_ingest_validate", "q_tpch_q3",
     "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
     "q_union_libraries", "q_text_stats", "q_lang_id",
@@ -3824,6 +3799,31 @@ SWEEP_ORDER = [
     "q_events_tumbling", "q_events_session",
     "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
     "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
+    # --- 34-37: implementation or fixture changed THIS round — re-prove
+    #     the new plans (pointer-doubling components; null-score-guarded
+    #     canonical; re-ingestion-gated incremental span fixture; gated
+    #     repartition pipeline) ---
+    "q_dedup_components", "q_dedup_canonical",
+    "q_span_dedup_incremental", "q_corpus_pipeline",
+    # --- 38-50: §2-core + flagship insurance (r6-green, cheap rows) ---
+    "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
+    "q_point_lookup", "q_filter_fk",
+    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
+    "q_span_dedup", "q_kmeans_build", "q_pq_adc_topk", "q_ivf_pq_topk",
+    "q_domain_mix",
+    # --- past 50: r6-green, next row in r8's rotation ---
+    "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
+    "q_index_stats", "q_dim_check", "q_pagination",
+    "q_sample_hash", "q_except_deleted",
+    "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
+    "q_events_sliding", "q_events_dedup", "q_zorder_box",
+    "q_multimodal_features", "q_stratified_sample", "q_join_hits_chunks",
+    "q_embed_knn_e2e", "q_decontaminate", "q_simhash_near",
+    "q_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_cosine",
+    "q_dedup_incremental", "q_dedup_embed_incremental",
+    "q_assign_centroid", "q_ivf_probe_topk",
+    "q_knn_graph", "q_curation_e2e", "q_repetition_stats",
+    "q_pq_refine_topk", "q_ivf_pq_residual_topk",
 ]
 
 
