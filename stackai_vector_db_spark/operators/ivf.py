@@ -55,6 +55,13 @@ def label_mean_centroids(vectors: DataFrame, label_col: str = "label",
     )
 
 
+# Iterations MLlib actually ran in the most recent kmeans_centroids call
+# (None until a training has run in this process — the persisted-artifact
+# path never trains). Read by the plan audit's "rounds" column, same role
+# as dedup.LAST_ROUNDS for the components loop.
+LAST_TRAIN_ITERS: int | None = None
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_clusters: int,
@@ -68,9 +75,14 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    global LAST_TRAIN_ITERS
     spark = vectors.sparkSession
     feat = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter, tol=tol).fit(feat)
+    try:
+        LAST_TRAIN_ITERS = int(model.summary.numIter)
+    except Exception:
+        LAST_TRAIN_ITERS = None  # summary unavailable on some model paths
     rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

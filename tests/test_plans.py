@@ -208,3 +208,26 @@ def test_dedup_canonical_broadcast_no_python(spark):
 
     read_cols = [set(re.findall(r"(\w+):", s)) for s in a["schemas"]]
     assert all(cols <= {"doc_id", "text"} for cols in read_cols)
+
+
+def test_iterative_round_counts_pinned_at_fixture_scale(spark):
+    """Round-count regression gate for the iterative family (round-6 brief:
+    PLANS.md showed shuffle shapes but not iteration counts — the only
+    measured superlinear step was the components ROUND count). Pointer
+    doubling bounds rounds at ceil(log2(diameter+1)) + 1 observation
+    round; the fixture dup graphs are shallow (measured diameter ≤ 15 at
+    sf0.001 → 4 update rounds + 1 observation), so >6 rounds here means
+    the doubling shortcut stopped working (O(diameter) propagation would
+    need 16+)."""
+    from stackai_vector_db_spark.operators import dedup
+
+    for name in ("q_dedup_components", "q_dedup_canonical"):
+        dedup.LAST_ROUNDS = None
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert df.count() > 0
+        assert dedup.LAST_ROUNDS is not None, f"{name} never ran the loop"
+        assert dedup.LAST_ROUNDS <= 6, (
+            f"{name} took {dedup.LAST_ROUNDS} rounds at fixture scale — "
+            "pointer doubling should converge the fixture dup graph in "
+            "<= 5 update rounds + 1 observation round"
+        )
