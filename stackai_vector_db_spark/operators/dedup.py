@@ -528,23 +528,32 @@ def duplicate_components(
     in one cluster even when A≁C; keep the canonical min-id member, drop
     the rest).
 
-    Min-id label propagation WITH pointer doubling: every node starts as
-    its own component; each round every node (1) takes the min of its own
-    label and its neighbors' labels, then (2) shortcuts to its label's
-    label (``comp ← labels[comp]`` — valid because a label is always the
-    id of a node in the same component, and monotone because labels only
-    decrease). Propagation alone needs graph-diameter rounds; the
-    shortcut makes the reachable-min horizon DOUBLE per round
-    (``2^r − 1`` after r rounds on a path — the pointer-jumping bound),
-    so convergence is ``⌈log2(diameter+1)⌉`` update rounds plus one
-    fixed-point observation round. That log is what kept the 5M-doc /
-    96.5M-edge probe superlinear in round 6 (O(diameter) rounds, each a
-    job barrier); the shortcut adds one O(V) hash join per round to an
-    O(V+E) round — cheap, since E ≫ V on every real dup graph. Each
-    round still shuffles only (id, label) pairs regardless of payload
-    width; ``localCheckpoint`` cuts lineage so plans don't nest per
-    iteration, and the shortcut joins the PREVIOUS round's checkpointed
-    labels, so no subtree is ever computed twice.
+    Min-id label propagation WITH pointer doubling AND frontier
+    propagation: every node starts as its own component; each round every
+    node (1) takes the min of its own label and its FRONTIER neighbors'
+    labels, then (2) shortcuts to its label's label (``comp ←
+    labels[comp]`` — valid because a label is always the id of a node in
+    the same component, and monotone because labels only decrease).
+    Propagation alone needs graph-diameter rounds; the shortcut makes the
+    reachable-min horizon DOUBLE per round (``2^r − 1`` after r rounds on
+    a path — the pointer-jumping bound), so convergence is
+    ``⌈log2(diameter+1)⌉`` update rounds plus one fixed-point observation
+    round. The FRONTIER is the set of labels that changed last round —
+    the only rows that carry new information (a neighbor whose label
+    held cannot lower yours), so the edge join runs against the frontier
+    instead of the full label frame. On real dup graphs the frontier
+    collapses after 1-2 rounds (dense clusters converge immediately;
+    only long chains keep going), at which point AQE broadcast-joins the
+    tiny frontier against the persisted edges — NO full-edge shuffle in
+    late rounds. That pair of fixes is what the 5M-doc / 96.5M-edge
+    probe demanded: round 6's O(diameter) loop shuffled ~2E rows EVERY
+    round; now rounds are O(log d) and only the first 1-2 touch E. The
+    shortcut adds one O(V) hash join per round — cheap, since E ≫ V.
+    Each round still shuffles only (id, label) pairs regardless of
+    payload width; ``localCheckpoint`` cuts lineage so plans don't nest
+    per iteration, and both the shortcut and the frontier derive from
+    the PREVIOUS round's checkpointed labels, so no subtree is ever
+    computed twice.
 
     The convergence check is fused into the round: the round's select
     carries a ``__chg`` flag (did this node's label decrease?), so after
@@ -572,13 +581,15 @@ def duplicate_components(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).persist()
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    # Round 1's frontier is everything: every initial label is news.
+    frontier = labels
     converged = False
     rounds = 0
     # max_iter update rounds + 1: the final iteration either observes the
     # fixed point (changed == 0 → converged) or proves divergence.
     for rounds in range(1, max_iter + 2):
         prop = (
-            edges.join(labels.select(F.col("id").alias("src"), "comp"), "src")
+            edges.join(frontier.select(F.col("id").alias("src"), "comp"), "src")
             .select(F.col("dst").alias("id"), "comp")
             .groupBy("id")
             .agg(F.min("comp").alias("ncomp"))
@@ -605,6 +616,10 @@ def duplicate_components(
         new_labels = new_labels.localCheckpoint()
         changed = new_labels.filter("__chg").count()
         labels = new_labels.select("id", "comp")
+        # Next round's news: exactly the labels this round lowered (a
+        # jump-induced change counts too — its new value must still reach
+        # the node's neighbors). Filter of the checkpoint — no recompute.
+        frontier = new_labels.filter("__chg").select("id", "comp")
         if changed == 0:
             converged = True
             break

@@ -82,6 +82,11 @@ def main() -> None:
         report("members", canon.count())
         report("canonical_s", round(time.perf_counter() - t0, 3))
         report("kept_canonicals", canon.filter("is_canonical").count())
+        from stackai_vector_db_spark.operators import dedup as _dedup
+
+        # pointer-doubling round count — the quantity the r6 5M probe
+        # showed superlinear under O(diameter) propagation
+        report("cc_rounds", _dedup.LAST_ROUNDS)
 
     if "span" in phases:
         t0 = time.perf_counter()
