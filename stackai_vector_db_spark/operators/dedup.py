@@ -577,9 +577,17 @@ def duplicate_components(
     """
     global LAST_ROUNDS
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).persist()
+    # Persist PRE-PARTITIONED on the join key: the shuffle-join rounds
+    # (big frontier) then reuse the cached HashPartitioning(src) and only
+    # the frontier side exchanges — without this, every such round
+    # re-shuffled all 2E directed edges (the r6 5M probe's wall-clock
+    # floor). Late (small-frontier) rounds broadcast the frontier and
+    # scan the cache in place, so the layout costs them nothing.
+    edges = (
+        fwd.unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .repartition("src")
+        .persist()
+    )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     # Round 1's frontier is everything: every initial label is news.
     frontier = labels
@@ -588,6 +596,31 @@ def duplicate_components(
     # max_iter update rounds + 1: the final iteration either observes the
     # fixed point (changed == 0 → converged) or proves divergence.
     for rounds in range(1, max_iter + 2):
+        if rounds == 1:
+            # Identity labels: joining edges against (id, comp=id) is a
+            # no-op, so round 1's propagation is a PURE AGGREGATE — min
+            # neighbor id per node, one partial-reduced shuffle, no join.
+            # The jump (labels[x] = x) is a no-op too; skip both.
+            prop = (
+                edges.select(F.col("dst").alias("id"), F.col("src").alias("comp"))
+                .groupBy("id")
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            new_labels = labels.join(prop, "id", "left").select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias("__chg"),
+            )
+            new_labels = new_labels.localCheckpoint()
+            changed = new_labels.filter("__chg").count()
+            labels = new_labels.select("id", "comp")
+            frontier = new_labels.filter("__chg").select("id", "comp")
+            if changed == 0:
+                converged = True
+                break
+            continue
         prop = (
             edges.join(frontier.select(F.col("id").alias("src"), "comp"), "src")
             .select(F.col("dst").alias("id"), "comp")
