@@ -1909,7 +1909,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id label propagation — turns pairwise hits into dedup decisions
     (keep component_id == doc_id, drop the rest). Oracle = recursive CTE
     transitive closure; the iterative Spark form converges in
-    graph-diameter rounds, each O(V+E)."""
+    ceil(log2(diameter+1))+1 rounds (pointer doubling + frontier
+    propagation — operators/dedup.py:duplicate_components)."""
     from stackai_vector_db_spark.operators.dedup import duplicate_components
 
     emb = load_table(spark, sf_dir, "embeddings")
