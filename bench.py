@@ -67,11 +67,18 @@ def _split_docs_dir(spark, sf_dir: str) -> str:
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts", f"bench_split_{tag}"
     )
+    src = os.path.join(sf_dir, "documents.parquet")
     docs_out = os.path.join(out, "documents.parquet")
-    if not os.path.isdir(docs_out):
+    # Rebuild when missing OR when the driver regenerated the fixture
+    # after the last split (mtime guard) — a stale split would silently
+    # bench last round's rows.
+    stale = not os.path.isdir(docs_out) or os.path.getmtime(src) > os.path.getmtime(
+        docs_out
+    )
+    if stale:
         os.makedirs(out, exist_ok=True)
         (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            spark.read.parquet(src)
             .repartition(spark.sparkContext.defaultParallelism)
             .write.mode("overwrite")
             .parquet(docs_out)
