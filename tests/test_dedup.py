@@ -127,7 +127,9 @@ def test_duplicate_components_raises_on_max_iter_exhaustion(spark):
     silently split clustering — downstream canonical selection would
     elect one keeper per fragment, a keep/drop decision on wrong clusters
     (round-5 advisor finding). Path diameter 29 > 2^4 − 1 = 15, the
-    horizon of 3 update rounds + the observation round."""
+    horizon of the 4 executed update rounds (max_iter=3 grants one extra
+    round past max_iter, and that round UPDATES too — r7 advisor — so
+    the raise means changes were still flowing after all 4)."""
     import pytest
 
     from stackai_vector_db_spark.operators.dedup import duplicate_components
@@ -137,8 +139,39 @@ def test_duplicate_components_raises_on_max_iter_exhaustion(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="changes still flowing"):
         duplicate_components(ids, pairs, max_iter=3).collect()
+
+
+def test_duplicate_components_disk_only_edges_and_eager_release(spark):
+    """The one-JVM 10M memory levers (r7 brief #2/#6): a DISK_ONLY edge
+    cache must not change labels, and the loop must release each round's
+    localCheckpoint blocks as soon as the next round is materialized —
+    after the call at most ONE persisted RDD beyond the pre-call set (the
+    final round's checkpoint, which backs the returned frame) may remain.
+    The 30-path runs 6 rounds, so without the eager release six stale
+    label checkpoints would survive and this count would be ~6."""
+    from pyspark.storagelevel import StorageLevel
+
+    from stackai_vector_db_spark.operators.dedup import duplicate_components
+
+    n = 30
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    res = duplicate_components(
+        ids, pairs, max_iter=40, edge_storage=StorageLevel.DISK_ONLY
+    )
+    got = {r["doc_id"]: r["component_id"] for r in res.collect()}
+    assert got == {i: 0 for i in range(n)}
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"{after - before} persisted RDDs leaked past the components loop "
+        "— per-round localCheckpoint blocks are no longer released eagerly"
+    )
 
 
 def test_canonical_by_quality_policy(spark):

@@ -240,6 +240,36 @@ def test_kmeans_artifact_is_lloyd_fixpoint(spark):
         )
 
 
+def test_kmeans_artifact_carries_train_metadata(spark, tmp_path, monkeypatch):
+    """Two pins for the measured-rounds contract (r7 brief #4): (a) every
+    committed kmeans artifact carries a ``_meta.json`` with the integer
+    iteration count of the training that produced it — the audit's rounds
+    column reads this instead of a static "≤50 maxIter" placeholder; (b)
+    a FRESH build (empty artifact root) writes the same metadata, so the
+    contract survives artifact regeneration."""
+    from stackai_vector_db_spark import queries as Q
+    from stackai_vector_db_spark.plans import pq_index
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = pq_index.corpus_key(spark, sf_dir)
+    meta = pq_index.load_artifact_meta(key, "kmeans", "centroids")
+    assert meta is not None, "committed kmeans artifact has no _meta.json"
+    assert isinstance(meta.get("train_iters"), int) and 1 <= meta["train_iters"] <= 50
+
+    monkeypatch.setattr(pq_index, "ARTIFACT_ROOT", str(tmp_path))
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "kmeans_cents")
+    monkeypatch.delitem(Q._IVF_ARTIFACTS, memo_key, raising=False)
+    try:
+        cents = Q._kmeans_artifact_centroids(spark, sf_dir)
+        assert cents.count() == 10
+        fresh = pq_index.load_artifact_meta(key, "kmeans", "centroids")
+        assert fresh is not None and isinstance(fresh.get("train_iters"), int)
+    finally:
+        # drop the tmp-root build from the session memo so later tests
+        # re-serve the committed artifact, not this one
+        Q._IVF_ARTIFACTS.pop(memo_key, None)
+
+
 def test_knn_join_query_chunk_boundary(spark):
     """The block kernel chunks its query loop (1024-row slices) so a
     skew-concentrated group can't materialize an unbounded distance

@@ -78,7 +78,11 @@ def main() -> None:
             .alias("score_micro"),
         )
         t0 = time.perf_counter()
-        canon = canonical_by_quality(scored, pairs).persist()
+        # "auto" picks DISK_ONLY for the 2E edge cache when it would crowd
+        # the heap (r7 brief #2b) — at probe scale the edge set is the
+        # largest resident structure and heap-cached batches evict under
+        # GC pressure exactly when the loop needs them.
+        canon = canonical_by_quality(scored, pairs, edge_storage="auto").persist()
         report("members", canon.count())
         report("canonical_s", round(time.perf_counter() - t0, 3))
         report("kept_canonicals", canon.filter("is_canonical").count())

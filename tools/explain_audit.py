@@ -33,14 +33,27 @@ from stackai_vector_db_spark.session import get_spark  # noqa: E402
 # how to read the rounds the audited execution actually ran; kmeans
 # reads its persisted artifact at audit SF, so when no training ran the
 # column reports the static maxIter bound instead.
+def _kmeans_rounds(spark, sf_dir):
+    """Trained-this-run count if a train ran; else the ``train_iters``
+    stamped into the served artifact's ``_meta.json`` at the train that
+    PRODUCED it (plans/pq_index.write_artifact_meta) — a measurement
+    either way, never the static maxIter bound (r7 brief #4)."""
+    if _ivf.LAST_TRAIN_ITERS is not None:
+        return _ivf.LAST_TRAIN_ITERS
+    from stackai_vector_db_spark.plans import pq_index
+
+    meta = pq_index.load_artifact_meta(
+        pq_index.corpus_key(spark, sf_dir), "kmeans", "centroids"
+    )
+    if meta and meta.get("train_iters") is not None:
+        return f"{meta['train_iters']} (artifact metadata)"
+    return "≤50 maxIter (artifact has no train metadata)"
+
+
 ITERATIVE = {
-    "q_dedup_components": lambda: _dedup.LAST_ROUNDS,
-    "q_dedup_canonical": lambda: _dedup.LAST_ROUNDS,
-    "q_kmeans_build": lambda: (
-        _ivf.LAST_TRAIN_ITERS
-        if _ivf.LAST_TRAIN_ITERS is not None
-        else "≤50 maxIter (persisted artifact; no train this run)"
-    ),
+    "q_dedup_components": lambda spark, sf_dir: _dedup.LAST_ROUNDS,
+    "q_dedup_canonical": lambda spark, sf_dir: _dedup.LAST_ROUNDS,
+    "q_kmeans_build": _kmeans_rounds,
 }
 
 JOIN_CLASSES = {
@@ -140,7 +153,12 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for name in sorted(REGISTRY):
-        _dedup.LAST_ROUNDS = None  # only the audited execution may set it
+        # Only the audited execution may set these: without the IVF reset,
+        # an earlier query that triggers a kmeans train (cold persist slot)
+        # would leave its iteration count behind and q_kmeans_build's
+        # rounds cell would report THAT query's training (r7 advisor).
+        _dedup.LAST_ROUNDS = None
+        _ivf.LAST_TRAIN_ITERS = None
         df = REGISTRY[name].fn(spark, sf_dir)
         # Execute before auditing so AQE finalizes: runtime SMJ→broadcast
         # conversions and coalesced exchanges are part of the plan the
@@ -161,7 +179,7 @@ def main() -> None:
             cols = cols[:77] + "..."
         if len(pushed) > 60:
             pushed = pushed[:57] + "..."
-        rounds = str(ITERATIVE[name]()) if name in ITERATIVE else "—"
+        rounds = str(ITERATIVE[name](spark, sf_dir)) if name in ITERATIVE else "—"
         lines.append(
             f"| {name} | {pushed} | {joins} | {a['shuffles']} | "
             f"{a['python_stages']} | {rounds} | {cols} |"
