@@ -524,8 +524,11 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     every earlier round linger through the peak of the run — at 10M docs
     that was ~7 stale 10M-row label frames sitting in the block manager
     while the canonical phase needed the memory (r7 judge, "what's wrong"
-    #1). Best-effort: on any internals change the blocks just fall back
-    to the GC-driven cleanup path, never an error."""
+    #1). Spark logs a WARN that the truncated-lineage RDD cannot be
+    recomputed after unpersisting — intended: the loop's invariant is
+    that nothing references the released round again. Best-effort: on
+    any internals change the blocks just fall back to the GC-driven
+    cleanup path, never an error."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:

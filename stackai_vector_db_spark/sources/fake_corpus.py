@@ -34,15 +34,27 @@ _WORDS = (
 _LANGS = ("en", "es", "zh", "de", "fr")
 
 
-def _doc_text(doc_id: int) -> str:
-    """Word-salad text, unique per doc_id (the mixed seed has period
-    1,000,003 so word sequences don't repeat at any realistic n), except a
-    planted ~3% near-duplicate fraction: doc_ids ending 97-99 reuse the
-    text of the block's base doc with a short suffix — ground truth for
-    dedup probes."""
-    if doc_id % 100 >= 97:
-        return _doc_text(doc_id - doc_id % 100) + " trailing extra tokens"
-    seed = (doc_id * 2654435761) % 1000003
+DEFAULT_PERIOD = 1_000_003  # prime; the original generator's seed period
+
+
+def _doc_text(
+    doc_id: int, period: int = DEFAULT_PERIOD, dup_per_100: int = 3
+) -> str:
+    """Word-salad text, unique per doc_id as long as ``doc_id < period``
+    (the mixed seed cycles with prime period ``period``), except a planted
+    near-duplicate fraction: the last ``dup_per_100`` doc_ids of every
+    100-block reuse the block base doc's text with a short suffix — ground
+    truth for dedup probes. Both knobs default to the original values so
+    existing counts reproduce byte-identically; probes past ~1M docs pass
+    a period > ndocs (e.g. 1_000_000_007) for density-matched graphs — at
+    the default period every text repeats ~n/1M times, an adversarial
+    saturation floor ~16× realistic post-exact-dedup density (r7 brief #3)."""
+    if dup_per_100 and doc_id % 100 >= 100 - dup_per_100:
+        return (
+            _doc_text(doc_id - doc_id % 100, period, dup_per_100)
+            + " trailing extra tokens"
+        )
+    seed = (doc_id * 2654435761) % period
     n_words = 8 + seed % 25
     # Vocabulary must be LARGE relative to doc length or random docs
     # genuinely near-duplicate each other (20 real words × 8-32-word docs
@@ -52,7 +64,7 @@ def _doc_text(doc_id: int) -> str:
     return " ".join(
         f"{_WORDS[m % len(_WORDS)]}{m % 9973}"
         for j in range(n_words)
-        for m in [(seed * 31 + j) * 2654435761 % 1000003]
+        for m in [(seed * 31 + j) * 2654435761 % period]
     )
 
 
@@ -60,6 +72,8 @@ class FakeCorpusReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.parts = int(options.get("partitions", 8))
+        self.period = int(options.get("period", DEFAULT_PERIOD))
+        self.dup_per_100 = int(options.get("dup_per_100", 3))
 
     def partitions(self):
         step = max(-(-self.n // self.parts), 1)  # ceil division
@@ -73,7 +87,7 @@ class FakeCorpusReader(DataSourceReader):
         for doc_id in range(lo, hi):
             yield (
                 doc_id,
-                _doc_text(doc_id),
+                _doc_text(doc_id, self.period, self.dup_per_100),
                 _LANGS[doc_id % len(_LANGS)],
                 f"src{doc_id % 20}",
             )
@@ -111,7 +125,9 @@ class FakeCorpusStreamReader(SimpleDataSourceStreamReader):
 
 
 class FakeCorpusDataSource(DataSource):
-    """``format("fake_corpus")`` — batch options: n (rows), partitions;
+    """``format("fake_corpus")`` — batch options: n (rows), partitions,
+    period (seed period; choose a prime > n for all-unique texts),
+    dup_per_100 (planted near-dups per 100-block, 0-99; 0 disables);
     stream options: batch_size, n (bound)."""
 
     @classmethod

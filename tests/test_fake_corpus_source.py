@@ -22,6 +22,30 @@ def test_deterministic_across_reads(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_density_knobs_default_identity_and_effect(spark):
+    """The r8 density knobs (period, dup_per_100): explicit defaults must
+    reproduce the original generator byte-identically (every committed
+    probe count depends on it), a period > n with dup_per_100=0 yields
+    all-unique texts (the density-matched operating point), and
+    dup_per_100=0 removes every planted suffix copy."""
+    register(spark)
+    base = spark.read.format("fake_corpus").option("n", 300).load().collect()
+    knob = (
+        spark.read.format("fake_corpus").option("n", 300)
+        .option("period", 1_000_003).option("dup_per_100", 3)
+        .load().collect()
+    )
+    assert sorted(map(tuple, base)) == sorted(map(tuple, knob))
+    uniq = (
+        spark.read.format("fake_corpus").option("n", 5000)
+        .option("period", 1_000_000_007).option("dup_per_100", 0)
+        .load()
+    )
+    texts = [r["text"] for r in uniq.collect()]
+    assert len(set(texts)) == 5000
+    assert not any(t.endswith(" trailing extra tokens") for t in texts)
+
+
 def test_embed_pipeline_over_custom_source(spark):
     from stackai_vector_db_spark.functions.vector import add_fake_embedding
 

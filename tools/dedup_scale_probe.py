@@ -10,8 +10,13 @@ arithmetic are seed-free deterministic), so they reproduce exactly across
 hosts — wall-clocks carry the host-noise band, the counts are the stable
 part of the measurement.
 
-Usage: python tools/dedup_scale_probe.py [ndocs] [phases]
+Usage: python tools/dedup_scale_probe.py [ndocs] [phases] [period] [dup_per_100]
   phases: comma-set of {pairs,canonical,span}; default all.
+  period: generator seed period (default 1,000,003 — the original,
+    SATURATED past ~1M docs: every text repeats ~n/1M×, an adversarial
+    ~16×-realistic dup density). Pass a prime > ndocs (e.g. 1000000007)
+    for the density-matched operating point where only the planted
+    dup_per_100 fraction (default 3) duplicates (r7 brief #3).
 """
 
 from __future__ import annotations
@@ -40,6 +45,8 @@ def main() -> None:
     phases = set(
         (sys.argv[2] if len(sys.argv) > 2 else "pairs,canonical,span").split(",")
     )
+    period = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_003
+    dup_per_100 = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     spark = get_spark(app_name="dedup-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     register(spark)
@@ -48,13 +55,15 @@ def main() -> None:
         spark.read.format("fake_corpus")
         .option("n", ndocs)
         .option("partitions", par)
+        .option("period", period)
+        .option("dup_per_100", dup_per_100)
         .load()
         .persist()
     )
     docs.count()
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
 
-    out: dict = {"ndocs": ndocs}
+    out: dict = {"ndocs": ndocs, "period": period, "dup_per_100": dup_per_100}
 
     def report(key, value):
         out[key] = value
