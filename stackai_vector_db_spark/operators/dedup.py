@@ -535,6 +535,39 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _strip_plan_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a ``localCheckpoint``-backed frame as a FRESH ``LogicalRDD``
+    leaf without the origin plan's propagated size statistics. Spark's
+    checkpoint copies the checkpointed plan's ESTIMATED stats into the new
+    leaf, and the size-only estimator multiplies children's sizes at every
+    join — so in an iterative loop whose round references the previous
+    round's checkpoint twice, the sizeInBytes estimate's DIGIT COUNT
+    doubles per round (measured: 5→8→16→…→3870 digits by round 10). By
+    round ~17 Catalyst is multiplying million-digit BigIntegers at
+    PLANNING time and a single localCheckpoint call takes minutes-to-hours
+    (found in r8 when a deep-chain dup graph needed ~18 rounds; 9-round
+    graphs sat just under the cliff). The rewrap resets the leaf to the
+    default size estimate — a constant — so planning cost is flat in
+    round count. Runtime cost ~nothing: the new leaf scans the same
+    checkpointed blocks; static join planning falls back to SMJ and AQE
+    re-plans broadcasts from ACTUAL shuffle sizes, which is what governed
+    the late-round frontier broadcasts anyway. The rewrapped frame does
+    lose the checkpoint's output-partitioning note, but each round's
+    final jump join keys on ``__c1``, not ``id``, so the next round
+    re-exchanges labels either way. Best-effort: if the internal seam
+    moves, fall back to the checkpointed frame unchanged (correct, but
+    deep graphs re-hit the planning cliff)."""
+    try:
+        jdf = df._jdf
+        spark = df.sparkSession
+        j2 = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(j2, spark)
+    except Exception:
+        return df
+
+
 def duplicate_components(
     ids: DataFrame,
     pairs: DataFrame,
@@ -675,8 +708,11 @@ def duplicate_components(
             new_labels = new_labels.localCheckpoint()
             changed = new_labels.filter("__chg").count()
             prev_cp = new_labels
-            labels = new_labels.select("id", "comp")
-            frontier = new_labels.filter("__chg").select("id", "comp")
+            # stats-stripped twin (same blocks): keeps per-round planning
+            # cost FLAT in round count — see _strip_plan_stats.
+            stripped = _strip_plan_stats(new_labels)
+            labels = stripped.select("id", "comp")
+            frontier = stripped.filter("__chg").select("id", "comp")
             if changed == 0:
                 converged = True
                 break
@@ -719,11 +755,12 @@ def duplicate_components(
             _release_local_checkpoint(prev_cp)
             gc.collect()
         prev_cp = new_labels
-        labels = new_labels.select("id", "comp")
+        stripped = _strip_plan_stats(new_labels)
+        labels = stripped.select("id", "comp")
         # Next round's news: exactly the labels this round lowered (a
         # jump-induced change counts too — its new value must still reach
         # the node's neighbors). Filter of the checkpoint — no recompute.
-        frontier = new_labels.filter("__chg").select("id", "comp")
+        frontier = stripped.filter("__chg").select("id", "comp")
         if changed == 0:
             converged = True
             break

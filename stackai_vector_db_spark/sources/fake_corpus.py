@@ -38,20 +38,33 @@ DEFAULT_PERIOD = 1_000_003  # prime; the original generator's seed period
 
 
 def _doc_text(
-    doc_id: int, period: int = DEFAULT_PERIOD, dup_per_100: int = 3
+    doc_id: int,
+    period: int = DEFAULT_PERIOD,
+    dup_per_100: int = 3,
+    mixer: str = "linear",
 ) -> str:
     """Word-salad text, unique per doc_id as long as ``doc_id < period``
     (the mixed seed cycles with prime period ``period``), except a planted
     near-duplicate fraction: the last ``dup_per_100`` doc_ids of every
     100-block reuse the block base doc's text with a short suffix — ground
-    truth for dedup probes. Both knobs default to the original values so
-    existing counts reproduce byte-identically; probes past ~1M docs pass
-    a period > ndocs (e.g. 1_000_000_007) for density-matched graphs — at
-    the default period every text repeats ~n/1M times, an adversarial
-    saturation floor ~16× realistic post-exact-dedup density (r7 brief #3)."""
+    truth for dedup probes. All knobs default to the original values so
+    existing counts reproduce byte-identically.
+
+    ``mixer`` picks the word-index stream. ``"linear"`` (original) walks
+    an ARITHMETIC progression ``m_j = base + j·K (mod period)``, and
+    since a token only sees ``m mod lcm(20, 9973) = 199,460``, any two
+    docs whose progressions land on the same residue become SHIFTED
+    WINDOWS of one global token ring — a corpus whose non-planted dup
+    pairs form long overlapping CHAINS (components with diameter in the
+    thousands past ~1M docs; the adversarial deep-graph regime that
+    exposed the r8 checkpoint-stats planning cliff). ``"hashed"`` feeds
+    each m through a quadratic scrambler, so non-planted token streams
+    collide only at random — jaccard ≈ 0 between distinct seeds — and
+    the pair graph is exactly the planted ``dup_per_100`` 4-cliques:
+    the density-matched operating point (r7 brief #3)."""
     if dup_per_100 and doc_id % 100 >= 100 - dup_per_100:
         return (
-            _doc_text(doc_id - doc_id % 100, period, dup_per_100)
+            _doc_text(doc_id - doc_id % 100, period, dup_per_100, mixer)
             + " trailing extra tokens"
         )
     seed = (doc_id * 2654435761) % period
@@ -61,11 +74,14 @@ def _doc_text(
     # gave random pairs a median 3-shingle jaccard of 0.2 — measured, not
     # hypothetical). Mix a real word with a 10k-id suffix: readable, and
     # random-pair overlap collapses to ~0 while planted dups stay detectable.
-    return " ".join(
-        f"{_WORDS[m % len(_WORDS)]}{m % 9973}"
-        for j in range(n_words)
-        for m in [(seed * 31 + j) * 2654435761 % period]
-    )
+    def words():
+        for j in range(n_words):
+            m = (seed * 31 + j) * 2654435761 % period
+            if mixer == "hashed":
+                m = m * (m + 12345) % period
+            yield f"{_WORDS[m % len(_WORDS)]}{m % 9973}"
+
+    return " ".join(words())
 
 
 class FakeCorpusReader(DataSourceReader):
@@ -74,6 +90,7 @@ class FakeCorpusReader(DataSourceReader):
         self.parts = int(options.get("partitions", 8))
         self.period = int(options.get("period", DEFAULT_PERIOD))
         self.dup_per_100 = int(options.get("dup_per_100", 3))
+        self.mixer = options.get("token_mixer", "linear")
 
     def partitions(self):
         step = max(-(-self.n // self.parts), 1)  # ceil division
@@ -87,7 +104,7 @@ class FakeCorpusReader(DataSourceReader):
         for doc_id in range(lo, hi):
             yield (
                 doc_id,
-                _doc_text(doc_id, self.period, self.dup_per_100),
+                _doc_text(doc_id, self.period, self.dup_per_100, self.mixer),
                 _LANGS[doc_id % len(_LANGS)],
                 f"src{doc_id % 20}",
             )
@@ -126,8 +143,10 @@ class FakeCorpusStreamReader(SimpleDataSourceStreamReader):
 
 class FakeCorpusDataSource(DataSource):
     """``format("fake_corpus")`` — batch options: n (rows), partitions,
-    period (seed period; choose a prime > n for all-unique texts),
-    dup_per_100 (planted near-dups per 100-block, 0-99; 0 disables);
+    period (seed period; choose a prime > n for all-unique seeds),
+    dup_per_100 (planted near-dups per 100-block, 0-99; 0 disables),
+    token_mixer ("linear" = original chain-prone stream, "hashed" =
+    scrambled stream whose only dup pairs are the planted ones);
     stream options: batch_size, n (bound)."""
 
     @classmethod

@@ -174,6 +174,33 @@ def test_duplicate_components_disk_only_edges_and_eager_release(spark):
     )
 
 
+def test_duplicate_components_deep_chain_planning_stays_flat(spark):
+    """r8 regression pin for the checkpoint-stats planning cliff:
+    localCheckpoint copies the checkpointed plan's ESTIMATED stats into
+    the new LogicalRDD leaf, and each round references the previous
+    round's checkpoint twice, so the size estimate's digit count DOUBLES
+    per round (measured 5→3870 digits by round 10); by round ~17 planning
+    multiplies million-digit BigIntegers and a single checkpoint call
+    takes minutes-to-hours (found in r8 via a chain-structured corpus
+    whose components needed ~18 rounds — 9-round graphs sat just under
+    the cliff). The loop now strips origin stats from each round's
+    checkpoint (_strip_plan_stats). A 100,001-node path (diameter 100k →
+    17 update rounds + 1 observation) effectively hangs pre-fix;
+    post-fix it completes in tens of seconds with correct labels."""
+    from stackai_vector_db_spark.operators import dedup
+    from stackai_vector_db_spark.operators.dedup import duplicate_components
+
+    n = 100_001
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    res = duplicate_components(ids, pairs, max_iter=25)
+    assert res.count() == n
+    assert res.filter("component_id != 0").count() == 0
+    assert dedup.LAST_ROUNDS is not None and 17 <= dedup.LAST_ROUNDS <= 19
+
+
 def test_canonical_by_quality_policy(spark):
     """Per-cluster keep decisions: highest score wins, score ties fall to
     the min id, singletons (no pair) are not emitted, and a transitive

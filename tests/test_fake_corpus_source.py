@@ -33,12 +33,14 @@ def test_density_knobs_default_identity_and_effect(spark):
     knob = (
         spark.read.format("fake_corpus").option("n", 300)
         .option("period", 1_000_003).option("dup_per_100", 3)
+        .option("token_mixer", "linear")
         .load().collect()
     )
     assert sorted(map(tuple, base)) == sorted(map(tuple, knob))
     uniq = (
         spark.read.format("fake_corpus").option("n", 5000)
         .option("period", 1_000_000_007).option("dup_per_100", 0)
+        .option("token_mixer", "hashed")
         .load()
     )
     texts = [r["text"] for r in uniq.collect()]

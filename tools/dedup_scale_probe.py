@@ -10,13 +10,19 @@ arithmetic are seed-free deterministic), so they reproduce exactly across
 hosts — wall-clocks carry the host-noise band, the counts are the stable
 part of the measurement.
 
-Usage: python tools/dedup_scale_probe.py [ndocs] [phases] [period] [dup_per_100]
+Usage: python tools/dedup_scale_probe.py [ndocs] [phases] [period]
+         [dup_per_100] [token_mixer]
   phases: comma-set of {pairs,canonical,span}; default all.
   period: generator seed period (default 1,000,003 — the original,
     SATURATED past ~1M docs: every text repeats ~n/1M×, an adversarial
     ~16×-realistic dup density). Pass a prime > ndocs (e.g. 1000000007)
-    for the density-matched operating point where only the planted
-    dup_per_100 fraction (default 3) duplicates (r7 brief #3).
+    for unique seeds.
+  token_mixer: "linear" (default, original) keeps the chain-prone
+    arithmetic token stream — at a large period this is the DEEP-CHAIN
+    adversarial regime (components with diameter in the thousands);
+    "hashed" scrambles the stream so only the planted dup_per_100
+    fraction (default 3) duplicates — the density-matched operating
+    point (r7 brief #3).
 """
 
 from __future__ import annotations
@@ -47,6 +53,7 @@ def main() -> None:
     )
     period = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_003
     dup_per_100 = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    mixer = sys.argv[5] if len(sys.argv) > 5 else "linear"
     spark = get_spark(app_name="dedup-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     register(spark)
@@ -57,13 +64,19 @@ def main() -> None:
         .option("partitions", par)
         .option("period", period)
         .option("dup_per_100", dup_per_100)
+        .option("token_mixer", mixer)
         .load()
         .persist()
     )
     docs.count()
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
 
-    out: dict = {"ndocs": ndocs, "period": period, "dup_per_100": dup_per_100}
+    out: dict = {
+        "ndocs": ndocs,
+        "period": period,
+        "dup_per_100": dup_per_100,
+        "token_mixer": mixer,
+    }
 
     def report(key, value):
         out[key] = value
