@@ -576,6 +576,8 @@ def duplicate_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     edge_storage: StorageLevel | str | None = None,
+    n_jumps: int = 1,
+    class_gather: bool = True,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the step that
     turns pairwise similarity into dedup DECISIONS (A~B and B~C put A,B,C
@@ -640,6 +642,34 @@ def duplicate_components(
     (default MEMORY_AND_DISK), an explicit ``StorageLevel``, or ``"auto"``
     (DISK_ONLY when the estimated cache would crowd the JVM heap; see the
     persist-site comment). Labels are unaffected by the choice.
+
+    ``n_jumps``: shortcut applications per round (default 1, the
+    original). The 2^r horizon bound is exact on ID-ORDERED paths; on
+    adversarial shapes where ids land randomly along long chains (e.g.
+    the fake_corpus ``linear``-mixer ring graphs), the single jump's
+    expected per-round gain degrades toward ~1.5× (measured: rounds grow
+    9 → 14 from 250k → 500k chain docs) because the jump target is often
+    a near-local min whose own label carries little extra horizon. Each
+    extra jump is one more O(V) hash join per round against the same
+    checkpointed labels — cheap next to the edge join — and multiplies
+    the per-round horizon gain, so deep-chain graphs converge in
+    correspondingly fewer rounds. Results are identical for any value
+    (min-label fixpoint is unique); only the round count changes.
+    Measured caveat: on RANDOM-ID rings/chains the jump is idempotent
+    (a label value is usually the local min of its own arc, so
+    labels[v] = v) and extra jumps buy nothing — that regime is what
+    ``class_gather`` exists for.
+
+    ``class_gather`` (default True, r8): per round, every node labeled v
+    also absorbs the best value any OTHER node labeled v just saw — one
+    V-row aggregate keyed by the current label + one join. This
+    contracts label classes into supernodes, so classes merge
+    geometrically even where both the doubling jump and plain
+    propagation degrade to O(diameter) (measured: the linear-mixer ring
+    at 2.5M docs ran >81 propagation-only rounds without converging;
+    gather converges it in O(log) rounds). Same fixpoint, so results
+    are identical; False restores the r7 two-phase round shape (used by
+    the planning-cliff regression test, which needs many rounds).
 
     Returns ``(id_col, component_id)`` covering every id in ``ids`` —
     singletons map to themselves. Deterministic: min is order-free.
@@ -728,15 +758,48 @@ def duplicate_components(
             "comp",
             F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("__c1"),
         )
+        if class_gather:
+            # Class-min gather: every node currently labeled v learns the
+            # best value ANY co-labeled node just saw — one V-row partial
+            # aggregate keyed by the current label plus one co-aligned
+            # join. Semantically this contracts each label class to a
+            # supernode and runs the round on the contracted graph, so
+            # classes merge geometrically even when the JUMP is useless:
+            # on random-id ring/chain graphs a label value is typically
+            # the LOCAL min of its own arc (labels[v] = v ⇒ jump no-op)
+            # and plain propagation needs O(diameter) rounds — measured
+            # on the fake_corpus linear-mixer ring at 2.5M docs: >81
+            # rounds without gather, O(log) with. Values stay node ids
+            # within the component (members' neighbors), so the min-label
+            # fixpoint — and therefore the result — is unchanged.
+            g = stepped.groupBy("comp").agg(F.min("__c1").alias("__g"))
+            stepped = stepped.join(g, "comp").select(
+                "id",
+                "comp",
+                F.least(F.col("__c1"), F.col("__g")).alias("__c1"),
+            )
         # Pointer doubling: shortcut each node to its (propagated) label's
-        # label from the previous checkpointed round. labels[x] ≤ x always,
-        # so least() is belt-and-braces; the left join matches whenever the
-        # ids-covers-pairs precondition (docstring) holds — every label
-        # value is then a node id present in `labels`.
-        jump = labels.select(F.col("id").alias("__c1"), F.col("comp").alias("__c2"))
-        new_labels = stepped.join(jump, "__c1", "left").select(
+        # label from the previous checkpointed round, n_jumps times.
+        # labels[x] ≤ x always, so least() is belt-and-braces; the left
+        # join matches whenever the ids-covers-pairs precondition
+        # (docstring) holds — every label value is then a node id present
+        # in `labels`. Each iteration re-reads the same checkpointed
+        # frame — O(V) hash joins, no recompute.
+        cur = stepped
+        for _ in range(max(1, n_jumps)):
+            jump = labels.select(
+                F.col("id").alias("__jk"), F.col("comp").alias("__jv")
+            )
+            cur = cur.join(jump, cur["__c1"] == jump["__jk"], "left").select(
+                "id",
+                "comp",
+                F.least(F.col("__c1"), F.coalesce("__jv", F.col("__c1"))).alias(
+                    "__c1"
+                ),
+            )
+        new_labels = cur.select(
             "id",
-            F.least(F.col("__c1"), F.coalesce("__c2", F.col("__c1"))).alias("ncomp2"),
+            F.col("__c1").alias("ncomp2"),
             F.col("comp").alias("__c0"),
         ).select(
             "id",
@@ -785,6 +848,8 @@ def canonical_by_quality(
     score_col: str = "score_micro",
     max_iter: int = 25,
     edge_storage: StorageLevel | str | None = None,
+    n_jumps: int = 1,
+    class_gather: bool = True,
 ) -> DataFrame:
     """Canonical selection per duplicate cluster — the policy step real
     curation pipelines run after pair detection: group near-dup pairs into
@@ -827,7 +892,8 @@ def canonical_by_quality(
         .distinct()
     )
     comps = duplicate_components(
-        nodes, pairs, id_col=id_col, max_iter=max_iter, edge_storage=edge_storage
+        nodes, pairs, id_col=id_col, max_iter=max_iter,
+        edge_storage=edge_storage, n_jumps=n_jumps, class_gather=class_gather,
     )
     # Fail loudly if a pair-graph node is missing its score OR carries a
     # NULL score: an inner join would silently drop an unscored member,

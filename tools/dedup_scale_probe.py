@@ -103,8 +103,18 @@ def main() -> None:
         # "auto" picks DISK_ONLY for the 2E edge cache when it would crowd
         # the heap (r7 brief #2b) — at probe scale the edge set is the
         # largest resident structure and heap-cached batches evict under
-        # GC pressure exactly when the loop needs them.
-        canon = canonical_by_quality(scored, pairs, edge_storage="auto").persist()
+        # GC pressure exactly when the loop needs them. The env knobs
+        # serve the deep-chain regime (linear mixer at a large period):
+        # its random-id ring components degrade the single jump's
+        # per-round horizon gain, so those runs raise max_iter and/or
+        # apply the shortcut more than once per round.
+        max_iter = int(os.environ.get("DEDUP_PROBE_MAX_ITER", "25"))
+        n_jumps = int(os.environ.get("DEDUP_PROBE_JUMPS", "1"))
+        if (max_iter, n_jumps) != (25, 1):
+            out["max_iter"], out["n_jumps"] = max_iter, n_jumps
+        canon = canonical_by_quality(
+            scored, pairs, edge_storage="auto", max_iter=max_iter, n_jumps=n_jumps
+        ).persist()
         report("members", canon.count())
         report("canonical_s", round(time.perf_counter() - t0, 3))
         report("kept_canonicals", canon.filter("is_canonical").count())
