@@ -110,10 +110,13 @@ def main() -> None:
         # apply the shortcut more than once per round.
         max_iter = int(os.environ.get("DEDUP_PROBE_MAX_ITER", "25"))
         n_jumps = int(os.environ.get("DEDUP_PROBE_JUMPS", "1"))
-        if (max_iter, n_jumps) != (25, 1):
+        gather = os.environ.get("DEDUP_PROBE_GATHER", "1") != "0"
+        if (max_iter, n_jumps, gather) != (25, 1, True):
             out["max_iter"], out["n_jumps"] = max_iter, n_jumps
+            out["class_gather"] = gather
         canon = canonical_by_quality(
-            scored, pairs, edge_storage="auto", max_iter=max_iter, n_jumps=n_jumps
+            scored, pairs, edge_storage="auto", max_iter=max_iter,
+            n_jumps=n_jumps, class_gather=gather,
         ).persist()
         report("members", canon.count())
         report("canonical_s", round(time.perf_counter() - t0, 3))
