@@ -2673,7 +2673,10 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_quality_score scoring). Oracle replays the whole composition:
     LSH candidate SQL + recursive-CTE closure + quality SQL + window
     argmax. Components iterate over pair-touching nodes only (O(E), not
-    O(N)); the corpus is scanned once for scores."""
+    O(N)); scoring is LATE — a broadcast semi join on the member ids
+    sits under the score projection, so the regex-heavy quality score
+    runs on cluster members only, never the full corpus (the oracle
+    scores everything but joins only members — same values)."""
     from stackai_vector_db_spark.functions.text import quality_score
     from stackai_vector_db_spark.operators.dedup import (
         canonical_by_quality,
@@ -2689,13 +2692,12 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_base=_shingle_base(spark, sf_dir),
         band_index=_lsh_banded(spark, sf_dir),
     ).select("id_a", "id_b")
-    docs_scored = _aug_docs(spark, sf_dir).select(
-        "doc_id",
-        F.round(quality_score(F.col("text")) * 1000000.0)
-        .cast("long")
-        .alias("score_micro"),
+    return canonical_by_quality(
+        None,
+        pairs,
+        docs=_aug_docs(spark, sf_dir),
+        score_expr=F.round(quality_score(F.col("text")) * 1000000.0).cast("long"),
     )
-    return canonical_by_quality(docs_scored, pairs)
 
 
 _LSH_BANDED: dict = {}

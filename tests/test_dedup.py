@@ -235,6 +235,47 @@ def test_canonical_by_quality_policy(spark):
     assert all(n == 1 for n in per_comp.values())
 
 
+def test_canonical_by_quality_late_scoring_matches_eager(spark):
+    """The late path (docs + score_expr: broadcast semi on member ids
+    UNDER the score projection, so only members get scored) must elect
+    exactly the eager path's rows, the semi join must be in the physical
+    plan, and a score expression that is expensive/raising on NON-members
+    must never run — the property that makes late scoring a ~N/members
+    win at the density-matched operating point (r8)."""
+    from stackai_vector_db_spark.operators.dedup import canonical_by_quality
+
+    # text encodes the score; doc 9 is a singleton whose text would make
+    # the score expression raise if it were ever evaluated.
+    docs = spark.createDataFrame(
+        [(1, "100"), (2, "300"), (3, "200"), (6, "50"), (7, "50"),
+         (9, "not a number")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 7)], "id_a long, id_b long"
+    )
+    # ANSI mode: cast('not a number' as long) raises — unless pruned first
+    expr = F.col("text").cast("long")
+    late = canonical_by_quality(None, pairs, docs=docs, score_expr=expr)
+    assert "LeftSemi" in late._jdf.queryExecution().optimizedPlan().toString()
+    eager = canonical_by_quality(
+        docs.filter("doc_id != 9").select(
+            "doc_id", expr.alias("score_micro")
+        ),
+        pairs,
+    )
+    assert sorted(map(tuple, late.collect())) == sorted(
+        map(tuple, eager.collect())
+    )
+    # exactly one of docs_scored / docs must be given
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        canonical_by_quality(None, pairs)
+    with pytest.raises(ValueError, match="score_expr"):
+        canonical_by_quality(None, pairs, docs=docs)
+
+
 def test_canonical_by_quality_rejects_missing_and_null_scores(spark):
     """Both failure shapes must raise, not silently mis-elect: an id in
     pairs with NO docs_scored row (an inner join would drop it) and an id

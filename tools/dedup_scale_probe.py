@@ -93,11 +93,8 @@ def main() -> None:
         report("pairs_s", round(time.perf_counter() - t0, 3))
 
     if "canonical" in phases:
-        scored = docs.select(
-            "doc_id",
-            F.round(quality_score(F.col("text")) * 1000000.0)
-            .cast("long")
-            .alias("score_micro"),
+        score_expr = (
+            F.round(quality_score(F.col("text")) * 1000000.0).cast("long")
         )
         t0 = time.perf_counter()
         # "auto" picks DISK_ONLY for the 2E edge cache when it would crowd
@@ -108,16 +105,28 @@ def main() -> None:
         # its random-id ring components degrade the single jump's
         # per-round horizon gain, so those runs raise max_iter and/or
         # apply the shortcut more than once per round.
+        # LATE_SCORE=0 forces the eager score-everything path for A/Bs of
+        # the r8 members-only scoring (default: late, members only).
         max_iter = int(os.environ.get("DEDUP_PROBE_MAX_ITER", "25"))
         n_jumps = int(os.environ.get("DEDUP_PROBE_JUMPS", "1"))
         gather = os.environ.get("DEDUP_PROBE_GATHER", "1") != "0"
-        if (max_iter, n_jumps, gather) != (25, 1, True):
+        late = os.environ.get("DEDUP_PROBE_LATE_SCORE", "1") != "0"
+        if (max_iter, n_jumps, gather, late) != (25, 1, True, True):
             out["max_iter"], out["n_jumps"] = max_iter, n_jumps
-            out["class_gather"] = gather
-        canon = canonical_by_quality(
-            scored, pairs, edge_storage="auto", max_iter=max_iter,
+            out["class_gather"], out["late_score"] = gather, late
+        common = dict(
+            edge_storage="auto", max_iter=max_iter,
             n_jumps=n_jumps, class_gather=gather,
-        ).persist()
+        )
+        if late:
+            canon = canonical_by_quality(
+                None, pairs, docs=docs, score_expr=score_expr, **common
+            ).persist()
+        else:
+            scored = docs.select(
+                "doc_id", score_expr.alias("score_micro")
+            )
+            canon = canonical_by_quality(scored, pairs, **common).persist()
         report("members", canon.count())
         report("canonical_s", round(time.perf_counter() - t0, 3))
         report("kept_canonicals", canon.filter("is_canonical").count())
