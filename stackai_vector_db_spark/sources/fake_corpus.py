@@ -61,7 +61,21 @@ def _doc_text(
     each m through a quadratic scrambler, so non-planted token streams
     collide only at random — jaccard ≈ 0 between distinct seeds — and
     the pair graph is exactly the planted ``dup_per_100`` 4-cliques:
-    the density-matched operating point (r7 brief #3)."""
+    the density-matched operating point (r7 brief #3).
+
+    RESONANCE CEILING (found at the r8 20M notch): the scrambler remaps
+    token VALUES pointwise, so it cannot erase EXACT x-stream overlaps —
+    docs whose ids differ by ``Δ(d) = d·31⁻¹·K⁻¹ mod period`` have
+    x-streams that are d-shifted windows of each other, hence d-shifted
+    IDENTICAL token windows under any pointwise map. By Dirichlet some
+    ``d ≤ 32`` (max doc length) always has ``Δ(d) ≤ period/32``, so the
+    clean regime only extends to the period's resonance floor
+    ``min_d min(Δ(d), period−Δ(d))`` — for the original 1,000,000,007
+    that is Δ(14) = 15,637,891: a 20M-doc corpus pairs every doc with
+    its +15.6M neighbor (measured: span-dup docs jumped 5.4× linear).
+    Periods with a near-optimal floor: 1,000,088,671 (floor 30,201,259)
+    and 4,000,000,553 (floor 112,350,918) — use the latter for runs
+    past ~30M docs."""
     if dup_per_100 and doc_id % 100 >= 100 - dup_per_100:
         return (
             _doc_text(doc_id - doc_id % 100, period, dup_per_100, mixer)

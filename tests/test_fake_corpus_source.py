@@ -48,6 +48,39 @@ def test_density_knobs_default_identity_and_effect(spark):
     assert not any(t.endswith(" trailing extra tokens") for t in texts)
 
 
+def test_resonance_ceiling_arithmetic():
+    """The r8 20M-notch finding, pinned without Spark: the hashed mixer
+    remaps token values pointwise, so docs whose ids differ by
+    Δ(d) = d·31⁻¹·K⁻¹ mod period share a d-shifted IDENTICAL token
+    window. For the original period 1,000,000,007 the floor is
+    Δ(14) = 15,637,891 — inside a 20M corpus (the measured 5.4× span-dup
+    surge) but outside 10M (why the 2.5-10M density series stayed
+    clean). The documented replacement 4,000,000,553 keeps every Δ(d),
+    d ≤ 32, above 112M."""
+    from stackai_vector_db_spark.sources.fake_corpus import _doc_text
+
+    K = 2654435761
+
+    def floor(period):
+        inv = pow(31 * K, -1, period)
+        return min(
+            min(d * inv % period, period - d * inv % period)
+            for d in range(1, 33)
+        )
+
+    assert floor(1_000_000_007) == 15_637_891
+    assert floor(4_000_000_553) == 112_350_918
+    # concrete collision at the old period: a shared >= 8-token window
+    a, b = 1000, 1000 + 15_637_891
+    wa = _doc_text(a, 1_000_000_007, 3, "hashed").split()
+    wb = _doc_text(b, 1_000_000_007, 3, "hashed").split()
+    assert len(set(wa) & set(wb)) >= 8
+    # same doc pair under the replacement period: disjoint token streams
+    ca = _doc_text(a, 4_000_000_553, 3, "hashed").split()
+    cb = _doc_text(b, 4_000_000_553, 3, "hashed").split()
+    assert not (set(ca) & set(cb))
+
+
 def test_embed_pipeline_over_custom_source(spark):
     from stackai_vector_db_spark.functions.vector import add_fake_embedding
 
