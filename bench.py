@@ -114,10 +114,20 @@ def _calibrate(spark) -> dict[str, float]:
     spin = time.perf_counter() - t0
     assert acc > 0
     for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(4_000_000_000, numPartitions=32).selectExpr("sum(id)").collect()
-        sprk = time.perf_counter() - t0
+        sprk = _probe(spark)
     return {"spin_1core_s": round(spin, 3), "range_32part_s": round(sprk, 3)}
+
+
+def _probe(spark) -> float:
+    """One fixed-work 32-partition JVM codegen job — the calibration unit.
+    Run BETWEEN headline queries (r8 judge #4): the r8 file's single
+    before/after pair showed 37% ambient swing across one run
+    (range_32part_s 0.325 → 0.237), so a pre/post pair cannot attribute a
+    ±20% per-query delta to code vs host steal. A probe adjacent to each
+    query bounds the ambient state the query actually ran under."""
+    t0 = time.perf_counter()
+    spark.range(4_000_000_000, numPartitions=32).selectExpr("sum(id)").collect()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -204,6 +214,7 @@ def main() -> None:
     N_ITER = 3
     per_query: dict[str, float] = {}
     first_call: dict[str, float] = {}
+    probe_after: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)
         if qd is None:
@@ -221,6 +232,10 @@ def main() -> None:
             assert n >= 0
         per_query[name] = round(sorted(times)[len(times) // 2], 3)
         first_call[name] = round(times[0], 3)
+        # Ambient-state sample adjacent to this query's window (r8 judge
+        # #4): a per-query delta vs last round only reads as a regression
+        # when the adjacent probes are flat too.
+        probe_after[name] = round(_probe(spark), 3)
     calib_after = _calibrate(spark)
     total = round(sum(per_query.values()), 3)
     # value/queries: median steady-state (the quantity that scales with
@@ -237,7 +252,11 @@ def main() -> None:
                 "queries_first": first_call,
                 "artifact_build_sec": artifact_build_sec,
                 "artifact_build": artifact_build,
-                "calibration": {"before": calib_before, "after": calib_after},
+                "calibration": {
+                    "before": calib_before,
+                    "after": calib_after,
+                    "probe_between": probe_after,
+                },
                 "driver_memory": spark.conf.get("spark.driver.memory"),
             }
         )

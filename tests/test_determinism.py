@@ -66,19 +66,27 @@ def test_kmeans_build_shape_stable(spark):
 
 
 def test_approx_distinct_within_hll_error_bound(spark):
-    """The rows-only HLL query's accuracy contract, pinned: per group the
+    """The raw HLL estimate's accuracy contract, pinned: per group the
     HyperLogLog++ estimate (rsd=0.01) sits within 5× the requested
-    relative error of the exact distinct count — engine-specific sketch
-    internals are WHY it has no DuckDB oracle, but the estimate quality
-    is still checkable against Spark's own exact aggregate."""
+    relative error of the exact distinct count. Since r9 the registry
+    query emits only the boundedness VERDICT (so the DuckDB oracle can
+    hash-check it); this test keeps the raw estimate itself under
+    contract — the production 100 TB form drops the exact side and
+    ships the estimate."""
     from pyspark.sql import functions as F
 
     from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.queries import APPROX_DISTINCT_RSD
 
-    approx = {
-        r["event_type"]: r["n_users_approx"]
-        for r in Q.REGISTRY["q_approx_distinct"].fn(spark, SF_DIR).collect()
-    }
+    raw = load_table(spark, SF_DIR, "events").groupBy("event_type").agg(
+        F.approx_count_distinct(
+            "user_id", rsd=APPROX_DISTINCT_RSD
+        ).alias("n_users_approx")
+    )
+    approx = {r["event_type"]: r["n_users_approx"] for r in raw.collect()}
+    # and the registry's verdict shape must agree: every group in bound
+    verdicts = Q.REGISTRY["q_approx_distinct"].fn(spark, SF_DIR).collect()
+    assert verdicts and all(r["within_bound"] for r in verdicts)
     e = load_table(spark, SF_DIR, "events")
     exact = {
         r["event_type"]: r["n"]

@@ -70,6 +70,10 @@ def test_resonance_ceiling_arithmetic():
 
     assert floor(1_000_000_007) == 15_637_891
     assert floor(4_000_000_553) == 112_350_918
+    # generator validity for every density-series notch run to date —
+    # the largest (80M, r9) sits well under the replacement's floor, so
+    # planted dups are the ONLY dups and counts must stay linear
+    assert floor(4_000_000_553) > 80_000_000
     # concrete collision at the old period: a shared >= 8-token window
     a, b = 1000, 1000 + 15_637_891
     wa = _doc_text(a, 1_000_000_007, 3, "hashed").split()

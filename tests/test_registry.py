@@ -10,15 +10,17 @@ from stackai_vector_db_spark.queries import REGISTRY, SWEEP_ORDER, _ordered
 
 # Every id here is rows-only BY DESIGN (non-SQL-expressible) and documented
 # at its @register site; anything else must carry a DuckDB oracle.
-ROWS_ONLY_ALLOWED = {
-    "q_approx_distinct",        # HLL sketch vs exact count — genuinely engine-specific
-    # The PQ family (adc/refine/ivf_pq/residual) was promoted to
-    # hash-checked in round 5: training stays seeded-numpy, but the
-    # oracle replays the ranking math over the PERSISTED codebook/code
-    # artifacts (plans/pq_index.py). q_kmeans_build followed in the same
-    # round: persisted MLlib centroids + the proven assignment argmin +
-    # integer cluster sizes.
-}
+ROWS_ONLY_ALLOWED: set[str] = set(
+    # EMPTY since round 9: every registered id now carries a DuckDB hash
+    # oracle. The PQ family (adc/refine/ivf_pq/residual) was promoted in
+    # round 5 (oracle replays the ranking math over the PERSISTED
+    # codebook/code artifacts, plans/pq_index.py); q_kmeans_build followed
+    # in the same round. q_approx_distinct — the last holdout, its raw HLL
+    # estimate being genuinely engine-specific — was re-shaped in round 9
+    # into a deterministic boundedness VERDICT (abs(approx − exact) ≤
+    # ceil(3·rsd·exact)) whose exact side the oracle replays; the raw
+    # estimate stays pinned in tests/test_determinism.py.
+)
 
 
 def test_sweep_order_is_exactly_the_registry():
