@@ -83,14 +83,33 @@ def main() -> None:
         print(f"PROBE {key}={value}", file=sys.stderr, flush=True)
 
     if phases & {"pairs", "canonical"}:
+        # DEDUP_PROBE_PAIRS_PARQUET: cache the verified pair set across
+        # probe runs. The saturated 10M pair set (390.5M rows) costs
+        # ~25 min of band join + verify to rebuild and, under a
+        # small-executor topology (local-cluster[4,8,6g]), its shuffle +
+        # sort-spill intermediates exceed the sandbox's 80 GB scratch —
+        # measured: 68 GB of executor blockmgr before the disk filled,
+        # spill-run amplification from 6g heaps that the one-JVM 31g run
+        # never showed. Computing pairs ONCE (any topology) and reading
+        # the ~6 GB parquet lets the canonical phase be measured alone
+        # under the distributed topology (r8 judge brief #6). Counts are
+        # deterministic, so the cached set is byte-equivalent evidence.
+        pairs_pq = os.environ.get("DEDUP_PROBE_PAIRS_PARQUET")
         t0 = time.perf_counter()
-        pairs = (
-            minhash_lsh_pairs(docs, jaccard_threshold=0.5)
-            .select("id_a", "id_b")
-            .persist()
-        )
-        report("pairs", pairs.count())
-        report("pairs_s", round(time.perf_counter() - t0, 3))
+        if pairs_pq and os.path.isdir(pairs_pq):
+            pairs = spark.read.parquet(pairs_pq).persist()
+            out["pairs_loaded_from"] = pairs_pq
+            report("pairs", pairs.count())
+        else:
+            pairs = (
+                minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+                .select("id_a", "id_b")
+                .persist()
+            )
+            report("pairs", pairs.count())
+            report("pairs_s", round(time.perf_counter() - t0, 3))
+            if pairs_pq:
+                pairs.write.parquet(pairs_pq)
 
     if "canonical" in phases:
         score_expr = (
