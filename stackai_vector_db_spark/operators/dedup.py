@@ -568,6 +568,37 @@ def _strip_plan_stats(df: DataFrame) -> DataFrame:
         return df
 
 
+def _cluster_storage_capacity_bytes(spark) -> int:
+    """Total block-manager storage capacity across the executors that
+    will actually HOLD cached blocks — the right-hand side of the
+    ``edge_storage="auto"`` sizing rule.
+
+    ``getExecutorMemoryStatus`` reports, per block manager, the maximum
+    memory available for storage (the unified storage+execution pool,
+    ≈ 0.6·(heap − 300 MB)). In ``local[N]`` that is one entry (the
+    driver IS the executor) and the rule reduces to the r8 driver-heap
+    form; under ``local-cluster``/a real cluster it is the executors'
+    pools, which is what the r8 form got wrong — it read the DRIVER's
+    ``Runtime.maxMemory``, a JVM that never stores an edge partition
+    (r9, found by the first genuinely distributed 10M run). The map
+    also lists the driver's own block manager in cluster mode (the API
+    exposes no executor-id to filter on), over-counting capacity by the
+    driver's pool share — bounded by 1/(n_executors+1) for same-sized
+    JVMs, i.e. edge sets in a narrow band just under the threshold keep
+    heap caching where a strict executor-only sum would already spill;
+    MEMORY_AND_DISK degrades by evicting, so the failure is gradual,
+    and it is still categorically better than sizing against the wrong
+    JVM entirely. The py4j walk is a scala Map iterator; cheap
+    (driver-side metadata)."""
+    mem = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+    it = mem.iterator()
+    total = 0
+    while it.hasNext():
+        kv = it.next()
+        total += int(kv._2()._1())  # Tuple2(maxMem, remaining) -> maxMem
+    return total
+
+
 def duplicate_components(
     ids: DataFrame,
     pairs: DataFrame,
@@ -693,15 +724,24 @@ def duplicate_components(
     # partitions mid-loop is what tipped the 10M one-JVM probe over —
     # DISK_ONLY trades slightly slower late-round broadcast scans for
     # never holding E in heap). "auto" measures: 2E rows at a
-    # conservative 32 bytes/row vs 30% of the JVM max heap.
+    # conservative 32 bytes/row vs 50% of the CLUSTER's block-manager
+    # storage capacity — summed over executors via
+    # getExecutorMemoryStatus, NOT the driver's Runtime.maxMemory. The r8
+    # form read the driver heap, which is the executor heap only in
+    # local[N]; measured under local-cluster[4,8,6g] (r9) the driver is
+    # 8 g while the cache actually lands on 4 x 6 g executors — sizing
+    # against the wrong JVM in either direction (a 31 g driver over small
+    # executors would pick heap caching and thrash). In local[N] the two
+    # rules nearly coincide: capacity ≈ 0.6·heap, so 0.5·capacity ≈
+    # 0.3·heap — the threshold the r8 10M probe measured is preserved.
     edges = fwd.unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     ).repartition("src")
     if edge_storage == "auto":
         n_dir = pairs.count() * 2
-        heap = ids.sparkSession.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        cap = _cluster_storage_capacity_bytes(ids.sparkSession)
         edge_storage = (
-            StorageLevel.DISK_ONLY if n_dir * 32 > 0.30 * heap else None
+            StorageLevel.DISK_ONLY if n_dir * 32 > 0.50 * cap else None
         )
     edges = edges.persist(
         edge_storage if edge_storage is not None else StorageLevel.MEMORY_AND_DISK_DESER

@@ -174,6 +174,39 @@ def test_duplicate_components_disk_only_edges_and_eager_release(spark):
     )
 
 
+def test_cluster_storage_capacity_and_auto_edge_rule(spark):
+    """edge_storage='auto' sizes the edge cache against the CLUSTER's
+    block-manager storage capacity (summed getExecutorMemoryStatus), not
+    the driver's Runtime.maxMemory — the r8 form read the driver heap,
+    which is only the executor heap in local[N]; under local-cluster the
+    driver (8 g) never stores an edge partition while the cache lands on
+    the executors (r9 distributed run). In local[N] there is exactly one
+    block manager and capacity ≈ 0.6·(heap − 300 MB), so the new
+    0.5·capacity threshold preserves the 0.3·heap boundary r8 measured;
+    this pins both the helper's shape and that near-coincidence, plus
+    that 'auto' still resolves (tiny pairs → heap caching, labels
+    exact)."""
+    from stackai_vector_db_spark.operators.dedup import (
+        _cluster_storage_capacity_bytes,
+        duplicate_components,
+    )
+
+    cap = _cluster_storage_capacity_bytes(spark)
+    heap = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    assert 0 < cap < heap  # one local block manager: a fraction of heap
+    # 0.5*cap within 35% of the r8 0.3*heap boundary on this topology
+    assert abs(0.5 * cap - 0.3 * heap) <= 0.35 * (0.3 * heap), (cap, heap)
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(ids, pairs, edge_storage="auto").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
 def test_duplicate_components_deep_chain_planning_stays_flat(spark):
     """r8 regression pin for the checkpoint-stats planning cliff:
     localCheckpoint copies the checkpointed plan's ESTIMATED stats into
