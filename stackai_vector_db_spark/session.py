@@ -189,7 +189,16 @@ def get_spark(
         # Executor heaps are separate JVMs here; the MB figure in the
         # master string is the WORKER's cap, and executor.memory must fit
         # it — default to exactly that figure so the two can't diverge.
+        # Spark's local-cluster grammar takes a bare-MB integer only; a
+        # unit-suffixed spelling would both fail Spark's own parse AND
+        # produce a nonsense "6gm" here, so reject it with the expected
+        # format named (r9 advisor).
         worker_mb = master.rstrip("]").rsplit(",", 1)[-1].strip()
+        if not worker_mb.isdigit():
+            raise ValueError(
+                f"local-cluster master {master!r}: worker memory must be a "
+                "bare MB integer, e.g. local-cluster[4,8,6144]"
+            )
         builder = builder.config(
             "spark.executor.memory",
             os.environ.get("SPARK_EXECUTOR_MEMORY", f"{worker_mb}m"),

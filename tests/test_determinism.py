@@ -97,3 +97,39 @@ def test_approx_distinct_within_hll_error_bound(spark):
     assert approx.keys() == exact.keys() and len(exact) > 0
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_approx_distinct_raw_form_has_no_exact_expand(spark):
+    """SPARK_GRAFT_APPROX_RAW=1 runs the production shape: HLL-only, so
+    the physical plan must contain no exact-distinct machinery (the
+    Expand node Spark plans for count(DISTINCT ...) alongside another
+    aggregate) — the scalable form the registry entry exists to
+    demonstrate stays executable, not just documented (r9 advisor)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.queries import APPROX_DISTINCT_RSD
+
+    os.environ["SPARK_GRAFT_APPROX_RAW"] = "1"
+    try:
+        raw = Q.REGISTRY["q_approx_distinct"].fn(spark, SF_DIR)
+        plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "approx_count_distinct" in plan.lower(), plan[:2000]
+        assert "Expand" not in plan, plan[:2000]
+        got = {r["event_type"]: r["approx_users"] for r in raw.collect()}
+    finally:
+        del os.environ["SPARK_GRAFT_APPROX_RAW"]
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct(
+                "user_id", rsd=APPROX_DISTINCT_RSD
+            ).alias("n")
+        )
+        .collect()
+    }
+    assert got == want  # same sketch, same estimate — deterministic

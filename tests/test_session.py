@@ -99,3 +99,14 @@ def test_cgroup_min_of_nested_caps(tmp_path):
         proc_path=str(proc), v2_root=str(v2), v1_root=str(tmp_path / "none")
     )
     assert lim == 4 * 2**30
+
+
+def test_local_cluster_rejects_unit_suffixed_worker_memory():
+    """local-cluster[n,c,MB] takes a bare-MB integer; a unit-suffixed
+    spelling like 6g would both fail Spark's own master parse AND have
+    produced a nonsense executor.memory ('6gm') here — reject it with
+    the expected format named (r9 advisor)."""
+    import pytest
+
+    with pytest.raises(ValueError, match=r"bare MB integer"):
+        session.get_spark(master="local-cluster[4,8,6g]")

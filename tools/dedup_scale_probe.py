@@ -96,11 +96,20 @@ def main() -> None:
         # deterministic, so the cached set is byte-equivalent evidence.
         pairs_pq = os.environ.get("DEDUP_PROBE_PAIRS_PARQUET")
         t0 = time.perf_counter()
-        if pairs_pq and os.path.isdir(pairs_pq):
+        # Reuse only a COMPLETE prior write: a crashed run leaves a dir
+        # without the _SUCCESS marker (written last), and loading it would
+        # record silently-truncated counts as evidence (r9 advisor).
+        if pairs_pq and os.path.isfile(os.path.join(pairs_pq, "_SUCCESS")):
             pairs = spark.read.parquet(pairs_pq).persist()
             out["pairs_loaded_from"] = pairs_pq
             report("pairs", pairs.count())
         else:
+            if pairs_pq and os.path.exists(pairs_pq):
+                raise SystemExit(
+                    f"DEDUP_PROBE_PAIRS_PARQUET={pairs_pq} exists but has no "
+                    "_SUCCESS marker (partial write or not a parquet dir); "
+                    "remove it before re-running"
+                )
             pairs = (
                 minhash_lsh_pairs(docs, jaccard_threshold=0.5)
                 .select("id_a", "id_b")
