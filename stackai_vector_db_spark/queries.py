@@ -3846,26 +3846,43 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   most one round old, so the 50 slots alternate between the two halves
 #   of the registry each round (union of the last two driver files covers
 #   all 83 ids).
-#   positions 1-33 (r9): exactly the ids whose latest driver row is r7 —
-#     rotated out of r8's count-capped file, re-verified green by the r8
-#     judge's strict local sweep, now due their fresh row (r8 brief #1).
-#     q_quality_score leads: its physical expression changed in r8 (punct
-#     translate rewrite) and the judge demanded the driver's own
-#     confirmation row. q_approx_distinct is newly hash-oracle-able this
-#     round (boundedness verdict, r8 brief #2) — its row retires the
-#     registry's last rows-only ⚠.
-#   positions 34-36: ids whose plan or oracle changed in r9 keep one
-#     consecutive-round confirmation row: q_dedup_canonical (entry
-#     persist of pairs + prune_max_members plumbing + explicit punct
-#     class in the oracle), q_corpus_pipeline + q_curation_e2e (oracle
-#     punct class \s → explicit java-\s set; r8 advisor).
-#     (q_quality_score / q_token_count / q_text_stats share that oracle
-#     change and already sit in the 33.)
-#   positions 37-50: §2-core + flagship insurance (r8-green, cheap rows).
-#   past 50: r8-green ids that can wait a round; rotate back in r10.
+#   positions 1-33 (r10): exactly the ids whose latest driver row is r8 —
+#     rotated out of r9's count-capped file, re-verified green by the r9
+#     judge's strict local sweep, now due their fresh row (r9 brief #1).
+#     The PQ/ANN family and the events pair lead: they are the ids a
+#     search-serving user hits most often among the 33.
+#   positions 34-35: ids whose registered plan changed in r10 keep one
+#     consecutive-round confirmation row: q_dedup_canonical (prune
+#     ceiling now derived from bytes via autoBroadcastJoinThreshold —
+#     same path at sf0.01, but the resolution code is new) and
+#     q_approx_distinct (env-gated HLL-only production shape added; the
+#     default verification shape the driver runs is unchanged).
+#   positions 36-50: §2-core + flagship insurance (r9-green, cheap rows).
+#   past 50: r9-green ids that can wait a round; rotate back in r11.
 SWEEP_ORDER = [
-    # --- 1-33: latest driver row is r7 — refresh first (r9 rotation) ---
-    "q_quality_score", "q_approx_distinct",
+    # --- 1-33: latest driver row is r8 — refresh first (r10 rotation) ---
+    "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_residual_topk",
+    "q_ann_lsh_topk", "q_ivf_probe_topk", "q_assign_centroid",
+    "q_events_sliding", "q_events_dedup",
+    "q_asof_join", "q_range_join", "q_zorder_box",
+    "q_multimodal_features", "q_join_hits_chunks",
+    "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
+    "q_index_stats", "q_dim_check", "q_pagination",
+    "q_sample_hash", "q_except_deleted", "q_fake_embed",
+    "q_stratified_sample", "q_decontaminate", "q_domain_mix",
+    "q_simhash_near", "q_ngram_jaccard", "q_dedup_cosine",
+    "q_repetition_stats", "q_span_dedup_incremental",
+    "q_knn_graph", "q_dedup_incremental", "q_dedup_embed_incremental",
+    # --- 34-35: plan changed in r10 — one consecutive-round
+    #     confirmation row each ---
+    "q_dedup_canonical", "q_approx_distinct",
+    # --- 36-50: §2-core + flagship insurance (r9-green, cheap rows) ---
+    "q_knn_brute_topk", "q_knn_window_rank", "q_embed_knn_e2e",
+    "q_scan_project", "q_point_lookup", "q_filter_fk",
+    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
+    "q_dedup_minhash_lsh", "q_dedup_components", "q_span_dedup",
+    "q_ivf_pq_topk", "q_kmeans_build", "q_quality_score",
+    # --- past 50: r9-green, next row in r11's rotation ---
     "q_ingest_validate", "q_tpch_q3", "q_tpch_q5",
     "q_token_count", "q_count_distinct",
     "q_union_libraries", "q_text_stats", "q_lang_id",
@@ -3876,30 +3893,7 @@ SWEEP_ORDER = [
     "q_events_tumbling", "q_events_session",
     "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
     "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
-    # --- 34-36: plan/oracle changed in r9 — one consecutive-round
-    #     confirmation row each ---
-    "q_dedup_canonical", "q_corpus_pipeline", "q_curation_e2e",
-    # --- 37-50: §2-core + flagship insurance (r8-green, cheap rows) ---
-    "q_knn_brute_topk", "q_knn_window_rank", "q_embed_knn_e2e",
-    "q_scan_project", "q_point_lookup", "q_filter_fk",
-    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
-    "q_dedup_minhash_lsh", "q_dedup_components", "q_span_dedup",
-    "q_ivf_pq_topk", "q_kmeans_build",
-    # --- past 50: r8-green, next row in r10's rotation ---
-    "q_count_by_group", "q_cluster_stats", "q_dirty_ratio",
-    "q_index_stats", "q_dim_check", "q_pagination",
-    "q_sample_hash", "q_except_deleted",
-    "q_ann_lsh_topk", "q_fake_embed", "q_asof_join", "q_range_join",
-    "q_events_sliding", "q_events_dedup", "q_zorder_box",
-    "q_multimodal_features", "q_stratified_sample", "q_join_hits_chunks",
-    "q_decontaminate", "q_simhash_near",
-    "q_ngram_jaccard", "q_dedup_cosine",
-    "q_dedup_incremental", "q_dedup_embed_incremental",
-    "q_assign_centroid", "q_ivf_probe_topk",
-    "q_knn_graph", "q_repetition_stats",
-    "q_pq_refine_topk", "q_ivf_pq_residual_topk",
-    "q_span_dedup_incremental",
-    "q_pq_adc_topk", "q_domain_mix",
+    "q_corpus_pipeline", "q_curation_e2e",
 ]
 
 
