@@ -753,3 +753,39 @@ def test_canonical_prune_boundary_falls_back_to_eager(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     pruned = canonical_by_quality(None, pairs, docs=docs, score_expr=expr)
     assert sorted(map(tuple, pruned.collect())) == rows_np
+
+
+def test_span_incremental_probe_decomposition_identity(spark):
+    """The K-batch ∪-decomposition the 80M probe runs (bucketed span
+    index built by K merges, then per-batch scoring against the final
+    index with nd ≥ 2) must reproduce span_dup_stats(full corpus) row
+    for row — the identity that makes the probe's 80M numbers the
+    direct operator's numbers, not a variant's."""
+    from stackai_vector_db_spark.operators.dedup import span_dup_stats
+    from tools.span_incremental_probe import batch_df, run
+
+    ndocs, k = 400, 4
+    out = run(
+        spark, ndocs, k, period=997, dup_per_100=10, mixer="hashed",
+        phases={"build", "score", "incremental"}, db="span_probe_test",
+        collect_stats=True,
+    )
+    got = sorted(map(tuple, out["_stats_df"].collect()))
+    full = spark.read.format("fake_corpus").option("n", ndocs).option(
+        "partitions", 8
+    ).option("period", 997).option("dup_per_100", 10).option(
+        "token_mixer", "hashed"
+    ).load()
+    want = sorted(map(tuple, span_dup_stats(full, window=8).collect()))
+    assert got == want
+    assert out["span_docs_dup"] == sum(
+        1 for r in want if r[2] > 0
+    )
+    assert out["incremental_equals_full_restriction"] is True
+    # batches sliced by the generator == batches filtered from full read
+    b2 = batch_df(spark, ndocs, k, 2, 997, 10, "hashed")
+    assert sorted(r.doc_id for r in b2.select("doc_id").collect()) == list(
+        range(200, 300)
+    )
+    spark.sql("DROP TABLE IF EXISTS span_probe_test.idx_v3")
+    spark.sql("DROP DATABASE IF EXISTS span_probe_test")

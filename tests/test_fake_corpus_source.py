@@ -135,3 +135,27 @@ def test_streaming_reader_matches_batch(spark, tmp_path):
         map(tuple, spark.read.format("fake_corpus").option("n", 120).load().collect())
     )
     assert got == want
+
+
+def test_start_slice_matches_full_read(spark):
+    """The `start` offset emits exactly the same rows as the matching id
+    range of a full read — _doc_text is a pure function of doc_id, so a
+    sliced read IS the batch, at batch cost (the lever the incremental
+    span probe uses to process 80M docs as K generator-sliced batches
+    instead of K filtered full scans)."""
+    register(spark)
+    full = {
+        r.doc_id: (r.text, r.lang, r.source)
+        for r in spark.read.format("fake_corpus").option("n", 300).load().collect()
+    }
+    sliced = (
+        spark.read.format("fake_corpus")
+        .option("n", 100)
+        .option("start", 150)
+        .option("partitions", 3)
+        .load()
+        .collect()
+    )
+    assert sorted(r.doc_id for r in sliced) == list(range(150, 250))
+    for r in sliced:
+        assert (r.text, r.lang, r.source) == full[r.doc_id]

