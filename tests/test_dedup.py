@@ -789,3 +789,25 @@ def test_span_incremental_probe_decomposition_identity(spark):
     )
     spark.sql("DROP TABLE IF EXISTS span_probe_test.idx_v3")
     spark.sql("DROP DATABASE IF EXISTS span_probe_test")
+
+
+def test_plan_cache_detected_across_dataframe_handles(spark):
+    """The r9 advisor scenario, pinned: a caller who persisted the SAME
+    logical plan through a DIFFERENT DataFrame handle must be detected
+    (CacheManager keys on the plan), so canonical_by_quality never
+    unpersists a cache it does not own. The client-side is_cached flag
+    is False on the second handle — exactly the gap _plan_is_cached
+    closes."""
+    from stackai_vector_db_spark.operators.dedup import _plan_is_cached
+
+    a = spark.range(100).selectExpr("id", "id * 2 AS v")
+    b = spark.range(100).selectExpr("id", "id * 2 AS v")  # same plan
+    assert not _plan_is_cached(a)
+    a.persist()
+    try:
+        a.count()
+        assert not b.is_cached          # the client flag misses it...
+        assert _plan_is_cached(b)       # ...the JVM CacheManager doesn't
+    finally:
+        a.unpersist()
+    assert not _plan_is_cached(b)
