@@ -70,6 +70,10 @@ def test_resonance_ceiling_arithmetic():
 
     assert floor(1_000_000_007) == 15_637_891
     assert floor(4_000_000_553) == 112_350_918
+    # r10 candidate for notches past 112M (prime, floor near the p/32
+    # optimum): validated at 5M (planted counts land beside the recorded
+    # row), clean through 240M docs
+    assert floor(8_000_029_883) == 241_979_406
     # generator validity for every density-series notch run to date —
     # the largest (80M, r9) sits well under the replacement's floor, so
     # planted dups are the ONLY dups and counts must stay linear

@@ -57,7 +57,14 @@ def main() -> None:
     spark = get_spark(app_name="dedup-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     register(spark)
-    par = spark.sparkContext.defaultParallelism
+    # Partition for the DATA, not the core count: a generation/shuffle
+    # partition holding more than ~2.5M docs carries band-explode sort
+    # state past one task slot's share of the execution pool (measured:
+    # 160M/32 = 5M docs per task OOMed the band stage even at 56 g,
+    # while every notch at <= 2.5M docs/task ran at the 31 g default).
+    # Scale both with ndocs; AQE coalesces the excess on small runs.
+    par = max(spark.sparkContext.defaultParallelism, ndocs // 2_500_000)
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))
     docs = (
         spark.read.format("fake_corpus")
         .option("n", ndocs)
@@ -66,8 +73,17 @@ def main() -> None:
         .option("dup_per_100", dup_per_100)
         .option("token_mixer", mixer)
         .load()
-        .persist()
     )
+    # Cache the corpus only while it is cheaper than regenerating it —
+    # which stops being true exactly when the probe is disk-bound: at
+    # 160M docs the deserialized text cache spills ~23 GB to the block
+    # manager (measured, rdd blocks in /tmp/blockmgr-*), the margin the
+    # band shuffle then dies without ("No space left"), while a
+    # regeneration pass is pure CPU on a deterministic source.
+    # DEDUP_PROBE_PERSIST_DOCS=0 trades the 2-3 extra generation passes
+    # for that disk headroom.
+    if os.environ.get("DEDUP_PROBE_PERSIST_DOCS", "1") != "0":
+        docs = docs.persist()
     docs.count()
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
 
