@@ -588,7 +588,15 @@ def _resolve_prune_max(spark, prune_max_members: int | None) -> int:
     raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1"))
     val = raw.strip().lower().rstrip("b")
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+    # full byte-string suffix grammar Spark itself accepts (JavaUtils:
+    # b/k/m/g/t/p) — a partial table would silently map a valid '1t'
+    # to ceiling 0 on exactly the beefy deployment that raised it
+    # (r10 review); anything still unparseable falls back to 0, the
+    # conservative always-eager path.
+    for suffix, m in (
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40), ("p", 1 << 50),
+    ):
         if val.endswith(suffix):
             val, mult = val[: -1], m
             break

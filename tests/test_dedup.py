@@ -724,6 +724,10 @@ def test_resolve_prune_max_bytes_rule(spark):
         # suffixed spellings Spark accepts for the conf resolve too
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
         assert _resolve_prune_max(spark, None) == (10 << 20) // 8
+        # full Spark byte-string grammar incl. t/p — a partial table
+        # mapped a valid '1t' to ceiling 0 (r10 review)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1tb")
+        assert _resolve_prune_max(spark, None) == (1 << 40) // 8
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         assert _resolve_prune_max(spark, None) == 0
     finally:

@@ -63,7 +63,7 @@ def main() -> None:
     # 160M/32 = 5M docs per task OOMed the band stage even at 56 g,
     # while every notch at <= 2.5M docs/task ran at the 31 g default).
     # Scale both with ndocs; AQE coalesces the excess on small runs.
-    par = max(spark.sparkContext.defaultParallelism, ndocs // 2_500_000)
+    par = max(spark.sparkContext.defaultParallelism, -(-ndocs // 2_500_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(par))
     docs = (
         spark.read.format("fake_corpus")

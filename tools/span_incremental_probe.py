@@ -100,6 +100,28 @@ def _write_index(df, table: str) -> None:
     )
 
 
+def _ensure_registered(spark, db: str, name: str) -> None:
+    """Re-register a kept index table in a fresh session: saveAsTable
+    metadata lives in the session's in-memory catalog and dies with it,
+    but the bucketed files survive in the warehouse — recreate the
+    catalog entry (same bucket spec) over them so the phase-split CLI
+    works across invocations (r10 review)."""
+    tbl = f"{db}.{name}"
+    if spark.catalog.tableExists(tbl):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, f"{db}.db", name)
+    if not os.path.isdir(loc):
+        raise SystemExit(
+            f"stored index {tbl} not found at {loc}; run the build phase first"
+        )
+    spark.sql(
+        f"CREATE TABLE {tbl} (__key BINARY, nd BIGINT) USING parquet "
+        f"CLUSTERED BY (__key) SORTED BY (__key) INTO {N_BUCKETS} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+
+
 def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         dup_per_100: int = 3, mixer: str = "hashed",
         phases: set | None = None, db: str = "span_probe",
@@ -146,13 +168,14 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         except Exception:
             pass
 
-    if "incremental" in phases and n_batches >= 2 and "build" in phases:
+    if "incremental" in phases and n_batches >= 2:
         # Daily-increment contract at this scale: rebuild index_{K-1}
         # cheaply? No — it was dropped; instead derive it from the final
         # index minus the last batch's contribution, which is exactly
         # build_span_index(batch_K) subtracted keywise. Equivalent and
         # avoids a second K-1 merge chain.
         t0 = time.perf_counter()
+        _ensure_registered(spark, db, f"idx_v{n_batches - 1}")
         last = batch_df(spark, ndocs, n_batches, n_batches - 1, period,
                         dup_per_100, mixer)
         last_idx = build_span_index(last, window=WINDOW)
@@ -175,6 +198,7 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
 
     if "score" in phases:
         t_all = time.perf_counter()
+        _ensure_registered(spark, db, f"idx_v{n_batches - 1}")
         idx = spark.table(final_tbl)
         total_dup = 0
         total_scored = 0
@@ -235,8 +259,18 @@ def main() -> None:
     spark = get_spark(app_name=f"span_incremental_probe_{ndocs}")
     spark.sparkContext.setLogLevel("ERROR")
     out = run(spark, ndocs, n_batches, phases=phases, db=db)
-    # leave no stored state behind — the numbers are the artifact
-    spark.sql(f"DROP TABLE IF EXISTS {db}.idx_v{n_batches - 1}")
+    # Full campaign (build+score): the numbers are the artifact, leave no
+    # stored state behind. A partial run (build-only, or score against a
+    # prior build) must KEEP the index — dropping it here made the
+    # advertised phase-split CLI unusable across invocations (r10 review).
+    if {"build", "score"} <= phases:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.idx_v{n_batches - 1}")
+    else:
+        print(
+            f"SPANPROBE keeping {db}.idx_v{n_batches - 1} for follow-up "
+            "phases",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
     spark.stop()
 
