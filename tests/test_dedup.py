@@ -5,6 +5,8 @@ these are the semantic unit tests.)"""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from stackai_vector_db_spark.operators.dedup import (
@@ -791,8 +793,128 @@ def test_span_incremental_probe_decomposition_identity(spark):
     assert sorted(r.doc_id for r in b2.select("doc_id").collect()) == list(
         range(200, 300)
     )
-    spark.sql("DROP TABLE IF EXISTS span_probe_test.idx_v3")
+    from tools.span_incremental_probe import _drop_index
+
+    _drop_index(spark, "span_probe_test", "idx_v3")
     spark.sql("DROP DATABASE IF EXISTS span_probe_test")
+
+
+def test_span_probe_phase_split_guards(spark, tmp_path):
+    """The phase-split CLI's three r10-advisor holes, pinned. (a) A
+    score-only run against an index built with DIFFERENT params must
+    refuse (the rollup⋈index inner join would silently drop unindexed
+    batch keys and record wrong counts); (b) an incremental-without-score
+    run must not leak the internal cross-check key into the emitted
+    dict; (c) dropping a kept (re-registered, therefore EXTERNAL) index
+    must remove the warehouse files, not just the catalog entry."""
+    import pytest as _pytest
+
+    from tools.span_incremental_probe import (
+        _drop_index,
+        _warehouse_path,
+        run,
+    )
+
+    db = "span_probe_guard_test"
+    # build once, keep the index (no score phase in the same run)
+    out = run(spark, 200, 2, period=997, dup_per_100=10, mixer="hashed",
+              phases={"build", "incremental"}, db=db)
+    assert not any(k.startswith("_") for k in out), out.keys()  # (b)
+    assert out["incremental_last_batch_docs_dup"] >= 0
+    # (a) same params → scoring proceeds; different period → refuse
+    ok = run(spark, 200, 2, period=997, dup_per_100=10, mixer="hashed",
+             phases={"score"}, db=db)
+    assert ok["span_docs_scored"] == 200
+    with _pytest.raises(SystemExit, match="built with"):
+        run(spark, 200, 2, period=991, dup_per_100=10, mixer="hashed",
+            phases={"score"}, db=db)
+    # (c) simulate a FRESH session: the in-memory catalog forgot the
+    # table but the warehouse files survived (copy them aside across the
+    # managed drop) — re-registration then creates an EXTERNAL table,
+    # whose DROP alone would leave the files behind.
+    import shutil
+
+    from tools.span_incremental_probe import _ensure_registered
+
+    loc = _warehouse_path(spark, db, "idx_v1")
+    assert os.path.isdir(loc)
+    shutil.copytree(loc, str(tmp_path / "idx_v1"))
+    spark.sql(f"DROP TABLE {db}.idx_v1")  # managed: files go with it
+    assert not os.path.isdir(loc)
+    shutil.copytree(str(tmp_path / "idx_v1"), loc)
+    params = {"ndocs": 200, "n_batches": 2, "period": 997,
+              "dup_per_100": 10, "token_mixer": "hashed", "window": 8,
+              "n_buckets": 64}
+    _ensure_registered(spark, db, "idx_v1", params)  # EXTERNAL now
+    assert spark.catalog.tableExists(f"{db}.idx_v1")
+    _drop_index(spark, db, "idx_v1")
+    assert not os.path.isdir(loc)                    # files gone too
+    assert not os.path.exists(loc + ".meta.json")
+    spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_dedup_incremental_probe_decomposition_identity(spark):
+    """The doc-level K-batch ∪-decomposition (stored bucketed band index
+    → per-batch owned candidates → one verify pass → canonical election)
+    must reproduce the DIRECT pipeline row for row: verified pairs equal
+    minhash_lsh_pairs(full corpus) exactly, and the election over them
+    equals the direct election — the identity that makes the probe's
+    160M numbers the direct operator's numbers, not a variant's."""
+    from stackai_vector_db_spark.operators.dedup import (
+        canonical_by_quality,
+        minhash_lsh_pairs,
+    )
+    from tools.dedup_scale_probe import _gen, _score_expr, run_incremental
+
+    ndocs, k, period = 400, 4, 997
+    db = "dedup_inc_probe_test"
+    out: dict = {}
+    run_incremental(
+        spark, ndocs, k, period, 10, "hashed",
+        {"inc_build", "inc_score", "inc_verify", "inc_canonical"},
+        lambda key, value: out.__setitem__(key, value), db=db,
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    dbdir = os.path.join(wh, f"{db}.db")
+    got_pairs = sorted(map(tuple, spark.read.parquet(
+        os.path.join(dbdir, "verified_pairs")
+    ).collect()))
+    full = _gen(spark, ndocs, 0, period, 10, "hashed")
+    want_pairs = sorted(map(tuple, minhash_lsh_pairs(
+        full, jaccard_threshold=0.5
+    ).collect()))
+    assert got_pairs == want_pairs
+    assert out["pairs"] == len(want_pairs)
+    direct = canonical_by_quality(
+        None,
+        minhash_lsh_pairs(full, jaccard_threshold=0.5).select("id_a", "id_b"),
+        docs=full, score_expr=_score_expr(),
+    )
+    want_canon = sorted(map(tuple, direct.collect()))
+    assert out["members"] == len(want_canon)
+    assert out["kept_canonicals"] == sum(1 for r in want_canon if r[3])
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {db}.banded")
+    spark.sql(f"DROP DATABASE IF EXISTS {db}")
+    shutil.rmtree(dbdir, ignore_errors=True)
+
+
+def test_resolve_prune_max_unparseable_warns(capsys):
+    """An unparseable threshold maps to ceiling 0 (always-eager — never
+    over-broadcasts) and says so on stderr instead of silently (r10
+    advisor)."""
+    from stackai_vector_db_spark.operators.dedup import _resolve_prune_max
+
+    class _FakeConf:
+        def get(self, key, default=None):
+            return "not-a-size"
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+    assert _resolve_prune_max(_FakeSpark(), None) == 0
+    assert "unparseable" in capsys.readouterr().err
 
 
 def test_plan_cache_detected_across_dataframe_handles(spark):

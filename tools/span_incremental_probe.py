@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -100,26 +101,76 @@ def _write_index(df, table: str) -> None:
     )
 
 
-def _ensure_registered(spark, db: str, name: str) -> None:
+def _warehouse_path(spark, db: str, name: str) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return os.path.join(wh, f"{db}.db", name)
+
+
+def _meta_path(spark, db: str, name: str) -> str:
+    return _warehouse_path(spark, db, name) + ".meta.json"
+
+
+def _write_meta(spark, db: str, name: str, params: dict) -> None:
+    """Sidecar recording the build params of a kept index, so a
+    phase-split score run cannot silently join against an index built
+    with a different ndocs/n_batches/period/mixer/window (r10 advisor:
+    the rollup-join drops unindexed batch keys with no error — wrong dup
+    counts, not a crash)."""
+    with open(_meta_path(spark, db, name), "w") as f:
+        json.dump(params, f)
+
+
+def _drop_index(spark, db: str, name: str) -> None:
+    """Drop the catalog entry AND the files: a re-registered index is an
+    EXTERNAL table (CREATE TABLE ... LOCATION), whose DROP leaves the
+    parquet behind in the warehouse (r10 advisor) — remove the directory
+    and the meta sidecar explicitly so both registration paths clean up
+    the same way."""
+    loc = _warehouse_path(spark, db, name)
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+    shutil.rmtree(loc, ignore_errors=True)
+    try:
+        os.remove(_meta_path(spark, db, name))
+    except OSError:
+        pass
+
+
+def _ensure_registered(spark, db: str, name: str, expect: dict) -> None:
     """Re-register a kept index table in a fresh session: saveAsTable
     metadata lives in the session's in-memory catalog and dies with it,
     but the bucketed files survive in the warehouse — recreate the
     catalog entry (same bucket spec) over them so the phase-split CLI
-    works across invocations (r10 review)."""
+    works across invocations (r10 review). ALWAYS validates the meta
+    sidecar against the current invocation's params — an index built
+    with different ndocs/n_batches/period/mixer/window would inner-join
+    away unindexed batch keys and record wrong counts silently."""
     tbl = f"{db}.{name}"
-    if spark.catalog.tableExists(tbl):
-        return
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    loc = os.path.join(wh, f"{db}.db", name)
-    if not os.path.isdir(loc):
-        raise SystemExit(
-            f"stored index {tbl} not found at {loc}; run the build phase first"
+    loc = _warehouse_path(spark, db, name)
+    if not spark.catalog.tableExists(tbl):
+        if not os.path.isdir(loc):
+            raise SystemExit(
+                f"stored index {tbl} not found at {loc}; run the build "
+                "phase first"
+            )
+        spark.sql(
+            f"CREATE TABLE {tbl} (__key BINARY, nd BIGINT) USING parquet "
+            f"CLUSTERED BY (__key) SORTED BY (__key) INTO {N_BUCKETS} BUCKETS "
+            f"LOCATION '{loc}'"
         )
-    spark.sql(
-        f"CREATE TABLE {tbl} (__key BINARY, nd BIGINT) USING parquet "
-        f"CLUSTERED BY (__key) SORTED BY (__key) INTO {N_BUCKETS} BUCKETS "
-        f"LOCATION '{loc}'"
-    )
+    mp = _meta_path(spark, db, name)
+    if not os.path.isfile(mp):
+        raise SystemExit(
+            f"stored index {tbl} has no meta sidecar ({mp}); rebuild with "
+            "the current tool so its build params are verifiable"
+        )
+    with open(mp) as f:
+        stored = json.load(f)
+    if stored != expect:
+        raise SystemExit(
+            f"stored index {tbl} was built with {stored}, but this "
+            f"invocation expects {expect} — scoring against it would "
+            "silently drop unindexed batch keys; rebuild or match params"
+        )
 
 
 def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
@@ -138,6 +189,12 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         out[k] = v
         print(f"SPANPROBE {k}={v}", file=sys.stderr, flush=True)
 
+    params = {
+        "ndocs": ndocs, "n_batches": n_batches, "period": period,
+        "dup_per_100": dup_per_100, "token_mixer": mixer, "window": WINDOW,
+        "n_buckets": N_BUCKETS,
+    }
+    inc_check: int | None = None  # incremental-vs-score cross-check value
     final_tbl = f"{db}.idx_v{n_batches - 1}"
     if "build" in phases:
         t_all = time.perf_counter()
@@ -154,8 +211,9 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
                 _write_index(
                     merge_span_index(prev, batch, window=WINDOW), tbl
                 )
-                spark.sql(f"DROP TABLE {db}.idx_v{i - 1}")
+                _drop_index(spark, db, f"idx_v{i - 1}")
             report(f"merge_{i}_s", round(time.perf_counter() - t0, 3))
+        _write_meta(spark, db, f"idx_v{n_batches - 1}", params)
         report("build_total_s", round(time.perf_counter() - t_all, 3))
         idx = spark.table(final_tbl)
         report("index_keys", idx.count())
@@ -175,7 +233,7 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         # build_span_index(batch_K) subtracted keywise. Equivalent and
         # avoids a second K-1 merge chain.
         t0 = time.perf_counter()
-        _ensure_registered(spark, db, f"idx_v{n_batches - 1}")
+        _ensure_registered(spark, db, f"idx_v{n_batches - 1}", params)
         last = batch_df(spark, ndocs, n_batches, n_batches - 1, period,
                         dup_per_100, mixer)
         last_idx = build_span_index(last, window=WINDOW)
@@ -194,11 +252,13 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         inc_dup = inc.filter("n_dup_spans > 0").count()
         report("incremental_last_batch_docs_dup", inc_dup)
         report("incremental_s", round(time.perf_counter() - t0, 3))
-        out["_inc_check"] = inc_dup  # compared against pass-2 in "score"
+        inc_check = inc_dup  # compared against pass-2 in "score"; a local
+        # so an incremental-only run never leaks an internal key into the
+        # emitted JSON (r10 advisor)
 
     if "score" in phases:
         t_all = time.perf_counter()
-        _ensure_registered(spark, db, f"idx_v{n_batches - 1}")
+        _ensure_registered(spark, db, f"idx_v{n_batches - 1}", params)
         idx = spark.table(final_tbl)
         total_dup = 0
         total_scored = 0
@@ -232,8 +292,8 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         report("span_docs_dup", total_dup)
         report("span_docs_dup_per_batch", per_batch)
         report("score_total_s", round(time.perf_counter() - t_all, 3))
-        if "_inc_check" in out:
-            match = out.pop("_inc_check") == per_batch[-1]
+        if inc_check is not None:
+            match = inc_check == per_batch[-1]
             report("incremental_equals_full_restriction", match)
             if not match:
                 raise SystemExit(
@@ -264,7 +324,7 @@ def main() -> None:
     # prior build) must KEEP the index — dropping it here made the
     # advertised phase-split CLI unusable across invocations (r10 review).
     if {"build", "score"} <= phases:
-        spark.sql(f"DROP TABLE IF EXISTS {db}.idx_v{n_batches - 1}")
+        _drop_index(spark, db, f"idx_v{n_batches - 1}")
     else:
         print(
             f"SPANPROBE keeping {db}.idx_v{n_batches - 1} for follow-up "
