@@ -183,15 +183,19 @@ def run_incremental(spark, ndocs, n_batches, period, dup_per_100, mixer,
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct()
             )
-            cand_i.write.mode("append").parquet(cand_dir)
+            # per-batch overwrite dirs, not one append dir: a crashed
+            # phase re-runs idempotently instead of double-appending
+            cand_i.write.mode("overwrite").parquet(
+                os.path.join(cand_dir, f"b{i}")
+            )
             report(f"inc_score_{i}_s", round(time.perf_counter() - t0, 3))
-        total = spark.read.parquet(cand_dir).count()
+        total = spark.read.parquet(os.path.join(cand_dir, "b*")).count()
         report("inc_candidates", total)
         report("inc_score_total_s", round(time.perf_counter() - t_all, 3))
 
     if "inc_verify" in phases:
         t_all = time.perf_counter()
-        cand = spark.read.parquet(cand_dir)
+        cand = spark.read.parquet(os.path.join(cand_dir, "b*"))
         ids = (
             cand.select(F.col("id_a").alias("doc_id"))
             .unionByName(cand.select(F.col("id_b").alias("doc_id")))
@@ -203,10 +207,12 @@ def run_incremental(spark, ndocs, n_batches, period, dup_per_100, mixer,
             lo, hi = batch_bounds(i)
             sl = _gen(spark, hi - lo, lo, period, dup_per_100, mixer)
             need = sl.join(F.broadcast(ids), "doc_id", "left_semi")
-            with_shingle_sets(need).write.mode("append").parquet(sh_dir)
+            with_shingle_sets(need).write.mode("overwrite").parquet(
+                os.path.join(sh_dir, f"b{i}")
+            )
             report(f"inc_shingle_{i}_s", round(time.perf_counter() - t0, 3))
         ids.unpersist()
-        sh = spark.read.parquet(sh_dir)
+        sh = spark.read.parquet(os.path.join(sh_dir, "b*"))
         sa = sh.select(F.col("doc_id").alias("id_a"),
                        F.col("shingle_set").alias("sa"))
         sb = sh.select(F.col("doc_id").alias("id_b"),
