@@ -275,10 +275,29 @@ def main() -> None:
             out[key] = value
             print(f"PROBE {key}={value}", file=sys.stderr, flush=True)
 
+        db = os.environ.get("DEDUP_INC_DB", "dedup_inc_probe")
         run_incremental(
             spark, ndocs, n_batches, period, dup_per_100, mixer, phases,
-            report, db=os.environ.get("DEDUP_INC_DB", "dedup_inc_probe"),
+            report, db=db,
         )
+        # Full campaign: the counts are the artifact — leave no stored
+        # state behind (the 160M index alone is ~14 GB). A phase-split
+        # run must KEEP the index for the follow-up phases (same
+        # contract as the span probe).
+        if phases >= INC_PHASES:
+            import shutil
+
+            spark.sql(f"DROP TABLE IF EXISTS {db}.banded")
+            spark.sql(f"DROP DATABASE IF EXISTS {db}")
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir"
+            ).removeprefix("file:")
+            shutil.rmtree(os.path.join(wh, f"{db}.db"), ignore_errors=True)
+        else:
+            print(
+                f"PROBE keeping {db} stored state for follow-up phases",
+                file=sys.stderr,
+            )
         print(json.dumps(out))
         spark.stop()
         return
