@@ -900,6 +900,30 @@ def test_dedup_incremental_probe_decomposition_identity(spark):
     shutil.rmtree(dbdir, ignore_errors=True)
 
 
+def test_dedup_incremental_probe_phase_split_guard(spark):
+    """A phase-split score run against an index built with different
+    params must refuse (same contract as the span probe): the per-batch
+    candidate join would silently compute a different corpus's counts."""
+    import shutil
+
+    import pytest as _pytest
+
+    from tools.dedup_scale_probe import run_incremental
+
+    db = "dedup_inc_guard_test"
+    out: dict = {}
+    run_incremental(spark, 200, 2, 997, 10, "hashed", {"inc_build"},
+                    lambda k, v: out.__setitem__(k, v), db=db)
+    assert out["inc_index_rows"] == 800  # 4 band rows per doc
+    with _pytest.raises(SystemExit, match="built with"):
+        run_incremental(spark, 200, 2, 991, 10, "hashed", {"inc_score"},
+                        lambda k, v: None, db=db)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.banded")
+    spark.sql(f"DROP DATABASE IF EXISTS {db}")
+    shutil.rmtree(os.path.join(wh, f"{db}.db"), ignore_errors=True)
+
+
 def test_resolve_prune_max_unparseable_warns(capsys):
     """An unparseable threshold maps to ceiling 0 (always-eager — never
     over-broadcasts) and says so on stderr instead of silently (r10
