@@ -799,6 +799,51 @@ def test_span_incremental_probe_decomposition_identity(spark):
     spark.sql("DROP DATABASE IF EXISTS span_probe_test")
 
 
+def test_span_probe_partitioned_identity(spark):
+    """The partition-wise build/score form (SPAN_PROBE_PARTS — P
+    separately-bucketed index tables keyed by pmod(xxhash64(__key), P),
+    merged and committed per partition) must reproduce span_dup_stats
+    (full corpus) row for row, exactly like the single-table form: the
+    partitions are disjoint key sets, so keywise merges and joins
+    compose to the global ones. Also pins that the parts value is part
+    of the meta contract — a score-split against an index stored with a
+    different layout must refuse."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from stackai_vector_db_spark.operators.dedup import span_dup_stats
+    from tools.span_incremental_probe import _drop_index, _final_names, run
+
+    ndocs, k, parts = 400, 4, 3
+    db = "span_probe_parts_test"
+    out = run(
+        spark, ndocs, k, period=997, dup_per_100=10, mixer="hashed",
+        phases={"build", "score", "incremental"}, db=db,
+        collect_stats=True, parts=parts,
+    )
+    got = sorted(map(tuple, out["_stats_df"].collect()))
+    full = spark.read.format("fake_corpus").option("n", ndocs).option(
+        "partitions", 8
+    ).option("period", 997).option("dup_per_100", 10).option(
+        "token_mixer", "hashed"
+    ).load()
+    want = sorted(map(tuple, span_dup_stats(full, window=8).collect()))
+    assert got == want
+    assert out["incremental_equals_full_restriction"] is True
+    # layout is part of the phase-split contract: single-table scoring
+    # against a partitioned index refuses (its table name simply is not
+    # registered/stored) rather than joining air
+    with _pytest.raises(SystemExit, match="not found"):
+        run(spark, ndocs, k, period=997, dup_per_100=10, mixer="hashed",
+            phases={"score"}, db=db, parts=0)
+    for name in _final_names(k, parts):
+        _drop_index(spark, db, name)
+    spark.sql(f"DROP DATABASE IF EXISTS {db}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _shutil.rmtree(os.path.join(wh, f"{db}.db"), ignore_errors=True)
+
+
 def test_span_probe_phase_split_guards(spark, tmp_path):
     """The phase-split CLI's three r10-advisor holes, pinned. (a) A
     score-only run against an index built with DIFFERENT params must
@@ -844,7 +889,7 @@ def test_span_probe_phase_split_guards(spark, tmp_path):
     shutil.copytree(str(tmp_path / "idx_v1"), loc)
     params = {"ndocs": 200, "n_batches": 2, "period": 997,
               "dup_per_100": 10, "token_mixer": "hashed", "window": 8,
-              "n_buckets": 64}
+              "n_buckets": 64, "parts": 0}
     _ensure_registered(spark, db, "idx_v1", params)  # EXTERNAL now
     assert spark.catalog.tableExists(f"{db}.idx_v1")
     _drop_index(spark, db, "idx_v1")

@@ -14,6 +14,12 @@ batch (r9 judge brief #2) — this tool runs it end to end:
   the batch's keys — the stored side is read in place. Old versions are
   dropped as soon as the next is committed, so peak disk is two index
   versions + one batch's shuffle, never the corpus-wide rollup.
+  ``SPAN_PROBE_PARTS=P`` switches to the PARTITION-WISE form: the index
+  is stored as P bucketed tables keyed by ``pmod(xxhash64(__key), P)``,
+  each merged and committed separately with its old partition dropped
+  immediately — peak version coexistence shrinks from a whole old
+  version to ONE partition (the snapshot-expiry/compaction shape real
+  table formats use), which is what fits span-160M on this sandbox.
 
   Pass 2 (scoring): for each batch, join its (key, id, n_occ) rollup
   against the FINAL index and flag spans with nd ≥ 2. Because the index
@@ -30,7 +36,7 @@ batch (r9 judge brief #2) — this tool runs it end to end:
   "incremental").
 
 Usage: python tools/span_incremental_probe.py <ndocs> <n_batches> \
-           [phases: build,score,incremental]
+           [phases: build,score,incremental] [period]
 Env: SPAN_PROBE_DB (default span_probe), SPARK_GRAFT_MASTER/CPUS as in
 session.py. Emits one JSON dict on stdout.
 
@@ -173,10 +179,48 @@ def _ensure_registered(spark, db: str, name: str, expect: dict) -> None:
         )
 
 
+def _part_expr(parts: int):
+    """Deterministic key→partition assignment (xxhash64 mod parts):
+    partitions are disjoint key sets, so per-partition keywise merges
+    and joins compose to exactly the global ones."""
+    return F.pmod(F.xxhash64("__key"), F.lit(parts)).cast("int")
+
+
+def _merge_indexes(old, new):
+    """Keywise full-outer sum of two (__key, nd) tables — the
+    table⊕table form of merge_span_index's join (the doc-side variant
+    builds the batch index inline); used by the partition-wise build,
+    where the batch index is precomputed and sliced."""
+    return (
+        old.withColumnRenamed("nd", "__nd_old")
+        .join(new.withColumnRenamed("nd", "__nd_new"), "__key", "full_outer")
+        .select(
+            "__key",
+            (
+                F.coalesce("__nd_old", F.lit(0))
+                + F.coalesce("__nd_new", F.lit(0))
+            ).alias("nd"),
+        )
+    )
+
+
+def _read_part(spark, tmp_dir: str, p: int, schema: str):
+    """One partition of a partitionBy("__part") temp write; a partition
+    with no keys at tiny scale has no directory — empty frame then."""
+    d = os.path.join(tmp_dir, f"__part={p}")
+    return (spark.read.parquet(d) if os.path.isdir(d)
+            else spark.createDataFrame([], schema))
+
+
+def _final_names(n_batches: int, parts: int) -> list:
+    v = f"idx_v{n_batches - 1}"
+    return [f"{v}_p{p}" for p in range(parts)] if parts else [v]
+
+
 def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         dup_per_100: int = 3, mixer: str = "hashed",
         phases: set | None = None, db: str = "span_probe",
-        collect_stats: bool = False) -> dict:
+        collect_stats: bool = False, parts: int = 0) -> dict:
     phases = phases or {"build", "score", "incremental"}
     register(spark)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
@@ -192,30 +236,75 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
     params = {
         "ndocs": ndocs, "n_batches": n_batches, "period": period,
         "dup_per_100": dup_per_100, "token_mixer": mixer, "window": WINDOW,
-        "n_buckets": N_BUCKETS,
+        "n_buckets": N_BUCKETS, "parts": parts,
     }
     inc_check: int | None = None  # incremental-vs-score cross-check value
     final_tbl = f"{db}.idx_v{n_batches - 1}"
+
+    def final_index(ensure: bool):
+        """Union of the final version's tables — for COUNTS and the
+        (small-scale) incremental contract only: a union erases bucket
+        metadata, so joins must go per partition table instead."""
+        names = _final_names(n_batches, parts)
+        if ensure:
+            for n in names:
+                _ensure_registered(spark, db, n, params)
+        dfs = [spark.table(f"{db}.{n}") for n in names]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u
+
     if "build" in phases:
         t_all = time.perf_counter()
         for i in range(n_batches):
             t0 = time.perf_counter()
             batch = batch_df(spark, ndocs, n_batches, i, period,
                              dup_per_100, mixer)
-            tbl = f"{db}.idx_v{i}"
-            if i == 0:
-                _write_index(build_span_index(batch, window=WINDOW), tbl)
+            if parts:
+                # Partition-wise merge — the format change that bounds
+                # version-coexistence disk to ONE partition: old_p is
+                # dropped the moment new_p commits, so the peak is the
+                # live index + one partition + the batch's own index,
+                # never two whole versions. (The single-table form's
+                # 2-version peak is what put span-160M past this
+                # sandbox's free disk; see README density series.)
+                bdir = _warehouse_path(spark, db, "batch_idx_tmp")
+                (
+                    build_span_index(batch, window=WINDOW)
+                    .withColumn("__part", _part_expr(parts))
+                    .write.mode("overwrite").partitionBy("__part")
+                    .parquet(bdir)
+                )
+                for p in range(parts):
+                    bp = _read_part(spark, bdir, p,
+                                    "`__key` binary, nd bigint")
+                    if i == 0:
+                        new_p = bp
+                    else:
+                        new_p = _merge_indexes(
+                            spark.table(f"{db}.idx_v{i - 1}_p{p}"), bp
+                        )
+                    _write_index(new_p, f"{db}.idx_v{i}_p{p}")
+                    if i > 0:
+                        _drop_index(spark, db, f"idx_v{i - 1}_p{p}")
+                shutil.rmtree(bdir, ignore_errors=True)
+            elif i == 0:
+                _write_index(build_span_index(batch, window=WINDOW),
+                             f"{db}.idx_v0")
             else:
                 prev = spark.table(f"{db}.idx_v{i - 1}")
                 # ids are disjoint by slicing, so no known_ids gate needed
                 _write_index(
-                    merge_span_index(prev, batch, window=WINDOW), tbl
+                    merge_span_index(prev, batch, window=WINDOW),
+                    f"{db}.idx_v{i}",
                 )
                 _drop_index(spark, db, f"idx_v{i - 1}")
             report(f"merge_{i}_s", round(time.perf_counter() - t0, 3))
-        _write_meta(spark, db, f"idx_v{n_batches - 1}", params)
+        for name in _final_names(n_batches, parts):
+            _write_meta(spark, db, name, params)
         report("build_total_s", round(time.perf_counter() - t_all, 3))
-        idx = spark.table(final_tbl)
+        idx = final_index(ensure=False)
         report("index_keys", idx.count())
         report("index_multi_doc_keys", idx.filter("nd >= 2").count())
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
@@ -233,11 +322,14 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         # build_span_index(batch_K) subtracted keywise. Equivalent and
         # avoids a second K-1 merge chain.
         t0 = time.perf_counter()
-        _ensure_registered(spark, db, f"idx_v{n_batches - 1}", params)
         last = batch_df(spark, ndocs, n_batches, n_batches - 1, period,
                         dup_per_100, mixer)
         last_idx = build_span_index(last, window=WINDOW)
-        idx_full = spark.table(final_tbl)
+        # NB: union form — correct at any scale but the index side of
+        # the join below exchanges; at probe scales past the free-disk
+        # budget run the phase-split CLI without "incremental" (the
+        # contract is pinned at tiny scale and recorded at 20M/80M).
+        idx_full = final_index(ensure=True)
         idx_prev = (
             idx_full.join(
                 last_idx.withColumnRenamed("nd", "__nd_last"), "__key", "left"
@@ -258,8 +350,9 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
 
     if "score" in phases:
         t_all = time.perf_counter()
-        _ensure_registered(spark, db, f"idx_v{n_batches - 1}", params)
-        idx = spark.table(final_tbl)
+        for n in _final_names(n_batches, parts):
+            _ensure_registered(spark, db, n, params)
+        idx = None if parts else spark.table(final_tbl)
         total_dup = 0
         total_scored = 0
         per_batch = []
@@ -269,7 +362,34 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
             batch = batch_df(spark, ndocs, n_batches, i, period,
                              dup_per_100, mixer)
             rollup = _span_rollup(batch, "text", "doc_id", WINDOW)
-            joined = rollup.join(idx, "__key")  # every batch key is indexed
+            if parts:
+                # Per-partition joins (bucketed index side never moves),
+                # unioned BEFORE the per-doc finalize — a doc's spans
+                # land in several partitions. The rollup is spooled to a
+                # partitioned temp dir once (∝ batch) so the P branches
+                # read slices instead of recomputing the batch rollup.
+                rdir = _warehouse_path(
+                    spark, db,
+                    f"rollup_tmp_b{i}" if collect_stats else "rollup_tmp",
+                )
+                (
+                    rollup.withColumn("__part", _part_expr(parts))
+                    .write.mode("overwrite").partitionBy("__part")
+                    .parquet(rdir)
+                )
+                joined = None
+                for p in range(parts):
+                    rp = _read_part(
+                        spark, rdir, p,
+                        "`__key` binary, doc_id bigint, n_occ bigint",
+                    )
+                    b = rp.join(
+                        spark.table(f"{db}.idx_v{n_batches - 1}_p{p}"),
+                        "__key",
+                    )
+                    joined = b if joined is None else joined.unionByName(b)
+            else:
+                joined = rollup.join(idx, "__key")  # every batch key is indexed
             stats = _span_finalize(
                 joined.select(
                     "doc_id", "n_occ",
@@ -287,6 +407,11 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
             total_scored += agg["n"]
             total_dup += int(agg["d"] or 0)
             per_batch.append(int(agg["d"] or 0))
+            if parts and not collect_stats:
+                # counts are materialized; with collect_stats the lazy
+                # _stats_df still reads these dirs, so the caller owns
+                # their cleanup (test-only path)
+                shutil.rmtree(rdir, ignore_errors=True)
             report(f"score_{i}_s", round(time.perf_counter() - t0, 3))
         report("span_docs_scored", total_scored)
         report("span_docs_dup", total_dup)
@@ -315,19 +440,24 @@ def main() -> None:
         (sys.argv[3] if len(sys.argv) > 3 else "build,score,incremental")
         .split(",")
     )
+    period = int(sys.argv[4]) if len(sys.argv) > 4 else 4_000_000_553
     db = os.environ.get("SPAN_PROBE_DB", "span_probe")
+    parts = int(os.environ.get("SPAN_PROBE_PARTS", "0"))
     spark = get_spark(app_name=f"span_incremental_probe_{ndocs}")
     spark.sparkContext.setLogLevel("ERROR")
-    out = run(spark, ndocs, n_batches, phases=phases, db=db)
+    out = run(spark, ndocs, n_batches, period=period, phases=phases, db=db,
+              parts=parts)
     # Full campaign (build+score): the numbers are the artifact, leave no
     # stored state behind. A partial run (build-only, or score against a
     # prior build) must KEEP the index — dropping it here made the
     # advertised phase-split CLI unusable across invocations (r10 review).
+    names = _final_names(n_batches, parts)
     if {"build", "score"} <= phases:
-        _drop_index(spark, db, f"idx_v{n_batches - 1}")
+        for name in names:
+            _drop_index(spark, db, name)
     else:
         print(
-            f"SPANPROBE keeping {db}.idx_v{n_batches - 1} for follow-up "
+            f"SPANPROBE keeping {db}.{{{','.join(names)}}} for follow-up "
             "phases",
             file=sys.stderr,
         )
