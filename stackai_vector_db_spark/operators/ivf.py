@@ -161,6 +161,88 @@ def probe_clusters(
     )
 
 
+def probe_pairs_local(
+    query_rows,
+    centroid_rows,
+    nprobe: int,
+    metric: Metric = "euclidean",
+) -> list[tuple]:
+    """Driver-side probe selection over already-collected queries and the
+    stored centroid table — the serving-path twin of :func:`probe_clusters`
+    (r11 optimization round, guide §2.4/§3.1).
+
+    The declarative probe plans a crossJoin + window EXCHANGE per call to
+    pick Q·nprobe pairs whose inputs the serving path has already collected
+    (queries ≤ a handful per request by the reference's contract; centroids
+    are the stored coarse table FAISS-style deployments hold in memory).
+    Computing the selection here removes one shuffle, one broadcast and a
+    re-scan of the query side from every search plan — the probes enter the
+    plan as a LocalTableScan instead.
+
+    Value-identical to probe_clusters: difference-form float64 distances
+    (the HOF ``euclidean_distance``/oracle form), rounded to ROUND decimals,
+    ties broken by cluster_id via a stable argsort over centroid-id-ordered
+    rows; cosine applies the zero-norm ⇒ 1.0 guard of
+    ``functions.vector.cosine_distance``. Returns ``[(qid, cluster_id)]``
+    in (query, rank) order.
+    """
+    import numpy as np
+
+    rows = sorted(centroid_rows, key=lambda r: r["cluster_id"])
+    cids = [r["cluster_id"] for r in rows]
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    np_ = min(nprobe, len(rows))
+    out: list[tuple] = []
+    for r in query_rows:
+        qid, qvec = r[0], r[1]
+        q = np.asarray(qvec, dtype=np.float64)
+        if metric == "euclidean":
+            d = np.round(np.sqrt(((cmat - q[None, :]) ** 2).sum(axis=1)), ROUND)
+        elif metric == "cosine":
+            qn = float(np.sqrt((q * q).sum()))
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
+            norms = qn * cn
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.where(norms == 0.0, 0.0, (cmat @ q) / norms)
+            d = np.round(np.where(norms == 0.0, 1.0, 1.0 - sim), ROUND)
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        order = np.argsort(d, kind="stable")[:np_]
+        out.extend((qid, cids[i]) for i in order)
+    return out
+
+
+def local_probes_df(
+    spark,
+    query_rows,
+    centroids: DataFrame,
+    centroid_rows,
+    nprobe: int,
+    metric: Metric = "euclidean",
+):
+    """``probe_pairs_local`` as a (qid, cluster_id) LocalRelation DataFrame
+    whose cluster_id dtype matches ``centroids`` exactly (so the candidate
+    join needs no cast).
+
+    Built via a ``VALUES`` literal, NOT ``spark.createDataFrame``: the
+    latter produces a pickled-rows ``Scan ExistingRDD`` whose every
+    broadcast runs a Spark job through a Python worker (measured ~0.3 s per
+    call); a LocalRelation broadcast is assembled driver-side with no job
+    at all."""
+    pairs = probe_pairs_local(query_rows, centroid_rows, nprobe, metric)
+    cid_dt = dict(centroids.dtypes)["cluster_id"]
+    if not pairs:
+        return spark.sql(
+            "SELECT CAST(NULL AS long) qid, "
+            f"CAST(NULL AS {cid_dt}) cluster_id WHERE false"
+        )
+    values = ", ".join(f"({int(q)}, {int(c)})" for q, c in pairs)
+    return spark.sql(
+        f"SELECT CAST(col1 AS long) qid, CAST(col2 AS {cid_dt}) cluster_id "
+        f"FROM VALUES {values}"
+    )
+
+
 def probe_clusters_arrow(
     queries: DataFrame,
     centroids: DataFrame,
@@ -227,6 +309,7 @@ def ivf_search(
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_rows=None,
 ) -> DataFrame:
     """Approximate kNN: restrict each query to its probed clusters, then
     exact top-k within (reference query path ``ivf.py:142-166``).
@@ -235,8 +318,24 @@ def ivf_search(
     :func:`assign_clusters` or a partitioned read of
     :func:`write_ivf_layout`'s output — in the latter case the probe join
     becomes partition pruning).
+
+    ``centroid_rows`` (the collected stored centroid table, FAISS's
+    in-memory coarse quantizer) switches probe selection to the driver
+    (:func:`probe_pairs_local`): the bounded query set is collected once
+    and the Q·nprobe pairs enter the plan as a LocalRelation — removing the
+    probe window's shuffle and broadcast subplan from every search call.
+    The query side itself stays the caller's DataFrame (its broadcast scan
+    is cheap; a local re-materialization measured slower to build).
+    Value-identical (tested) to the declarative probe path.
     """
-    probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
+    if centroid_rows is not None:
+        qrows = queries.select(qid_col, qvec_col).collect()
+        probes = local_probes_df(
+            assigned_vectors.sparkSession, qrows, centroids, centroid_rows,
+            nprobe, metric,
+        )
+    else:
+        probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
     # Per-query candidate set: vectors in probed clusters only.
     cand = assigned_vectors.join(F.broadcast(probes), "cluster_id").select(
         "qid", id_col, vec_col

@@ -213,8 +213,21 @@ def encode_pq(
     ).mapInPandas(part, schema="vec_id long, codes array<int>")
 
 
+def _collect_queries(queries, qid_col: str, qvec_col: str) -> list:
+    """Query rows for LUT construction: a DataFrame is collected (the
+    bounded serving set), anything else is taken as already-collected
+    ``(qid, qvec)`` rows — r11 optimization: callers that materialized the
+    query set anyway (e.g. 'the PQ_NQ smallest vec_ids') pass the rows
+    straight through instead of round-tripping them through a local
+    DataFrame whose ``collect()`` costs a few hundred ms of pure
+    driver/py4j overhead per search call."""
+    if isinstance(queries, DataFrame):
+        return queries.select(qid_col, qvec_col).collect()
+    return list(queries)
+
+
 def adc_topk(
-    queries: DataFrame,
+    queries,
     codes: DataFrame,
     codebooks: np.ndarray,
     k: int,
@@ -229,11 +242,14 @@ def adc_topk(
     exact global window — only Q·k·P rows shuffle, and the scan side reads
     the codes table only (M ints/row), never the raw vectors.
 
+    ``queries``: a DataFrame, or already-collected ``(qid, qvec)`` rows
+    (see :func:`_collect_queries`).
+
     Returns ``qid, vec_id, dist (double, rounded), rank`` — same shape as
     ``brute_force_topk`` so recall is directly comparable.
     """
     m, n_k, d_sub = codebooks.shape
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = _collect_queries(queries, qid_col, qvec_col)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # Q × D
     # LUTs: Q × M × K exact subspace squared distances.
@@ -279,7 +295,7 @@ def adc_topk(
 
 
 def ivf_pq_search(
-    queries: DataFrame,
+    queries,
     coded_vectors: DataFrame,
     centroids: DataFrame,
     codebooks: np.ndarray,
@@ -287,6 +303,7 @@ def ivf_pq_search(
     nprobe: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    centroid_rows=None,
 ) -> DataFrame:
     """IVF-PQ: probe-pruned candidate generation + ADC ranking — the
     billion-scale ANN layout (FAISS ``IVFx,PQy``) as two joins.
@@ -296,11 +313,21 @@ def ivf_pq_search(
     is file pruning at scale. Per 100 TB query cost: (nprobe/C)·N rows
     scanned × M byte-codes each — both factors independently tunable, no
     float vector touched.
+
+    ``centroid_rows`` (the collected stored centroid table — the in-memory
+    coarse quantizer every FAISS-style deployment holds) switches probe
+    selection to the driver: the query rows are already collected here for
+    the ADC LUTs, so the probes become a LocalTableScan instead of a
+    crossJoin + window-exchange subplan that re-scans the query side
+    (r11 optimization round; value-identical, see probe_pairs_local).
     """
-    from stackai_vector_db_spark.operators.ivf import probe_clusters
+    from stackai_vector_db_spark.operators.ivf import (
+        local_probes_df,
+        probe_clusters,
+    )
 
     m, n_k, d_sub = codebooks.shape
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qrows = _collect_queries(queries, qid_col, qvec_col)
     qid_to_row = {int(r[0]): i for i, r in enumerate(qrows)}
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     luts = np.empty((qmat.shape[0], m, n_k), dtype=np.float64)
@@ -308,7 +335,14 @@ def ivf_pq_search(
         qsub = qmat[:, sub * d_sub : (sub + 1) * d_sub]
         luts[:, sub, :] = _lut_sq_dists(qsub, codebooks[sub])
 
-    probes = probe_clusters(queries, centroids, nprobe, "euclidean", qid_col, qvec_col)
+    if centroid_rows is not None:
+        probes = local_probes_df(
+            coded_vectors.sparkSession, qrows, centroids, centroid_rows, nprobe
+        )
+    else:
+        probes = probe_clusters(
+            queries, centroids, nprobe, "euclidean", qid_col, qvec_col
+        )
     cand = coded_vectors.join(F.broadcast(probes), "cluster_id").select(
         "qid", "vec_id", "codes"
     )
@@ -423,7 +457,7 @@ def ivf_pq_residual_build(
 
 
 def ivf_pq_residual_search(
-    queries: DataFrame,
+    queries,
     coded_vectors: DataFrame,
     centroids: DataFrame,
     codebooks: np.ndarray,
@@ -431,28 +465,38 @@ def ivf_pq_residual_search(
     nprobe: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    centroid_rows=None,
 ) -> DataFrame:
     """Search the residual IVF-PQ layout: per probed (query, cluster) pair
     the ADC lookup table is built over ``qvec − centroid`` (the query's
     residual in that cluster's frame), then candidates rank exactly like
     ``ivf_pq_search``. LUT cost is Q·nprobe·M·K doubles — driver-side and
     tiny by the same bounded-collect contract as the raw path (queries
-    ≤ a handful per request; centroids are the stored coarse table)."""
-    from stackai_vector_db_spark.operators.ivf import probe_clusters
+    ≤ a handful per request; centroids are the stored coarse table).
+
+    Probe selection always ran on collected inputs here (the per-pair LUTs
+    need both maps anyway); r11 computes the pairs driver-side
+    (probe_pairs_local — value-identical) instead of planning, executing
+    AND collecting a crossJoin + window subplan per call, and enters them
+    into the candidate join as a LocalTableScan. ``centroid_rows`` lets the
+    caller hand over the already-loaded coarse table; None collects it."""
+    from stackai_vector_db_spark.operators.ivf import (
+        local_probes_df,
+        probe_pairs_local,
+    )
 
     m, n_k, d_sub = codebooks.shape
-    qvec_map = {
-        int(r[0]): np.array(r[1], dtype=np.float64)
-        for r in queries.select(qid_col, qvec_col).collect()
-    }
+    qrows = _collect_queries(queries, qid_col, qvec_col)
+    qvec_map = {int(r[0]): np.array(r[1], dtype=np.float64) for r in qrows}
+    if centroid_rows is None:
+        centroid_rows = centroids.collect()
     cent_map = {
         int(r["cluster_id"]): np.array(r["centroid"], dtype=np.float64)
-        for r in centroids.collect()
+        for r in centroid_rows
     }
-    probes = probe_clusters(queries, centroids, nprobe, "euclidean", qid_col, qvec_col)
     probe_pairs = [
-        (int(r[0]), int(r[1]))
-        for r in probes.select(qid_col, "cluster_id").collect()
+        (int(q), int(c))
+        for q, c in probe_pairs_local(qrows, centroid_rows, nprobe)
     ]
     luts: dict[tuple[int, int], np.ndarray] = {}
     for qid, cid in probe_pairs:
@@ -464,9 +508,12 @@ def ivf_pq_residual_search(
             )[0]
         luts[(qid, cid)] = lut.ravel()
 
-    cand = coded_vectors.join(
-        F.broadcast(probes.select(qid_col, "cluster_id")), "cluster_id"
-    ).select("qid", "vec_id", "codes", "cluster_id")
+    probes = local_probes_df(
+        coded_vectors.sparkSession, qrows, centroids, centroid_rows, nprobe
+    )
+    cand = coded_vectors.join(F.broadcast(probes), "cluster_id").select(
+        "qid", "vec_id", "codes", "cluster_id"
+    )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         offs = np.arange(m, dtype=np.int64) * n_k

@@ -880,7 +880,8 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids(spark, sf_dir)
     assigned = emb.select("vec_id", "embedding", F.col("label").alias("cluster_id"))
     out = ivf_ops.ivf_search(
-        _knn_queries(emb), assigned, cents, k=KNN_K, nprobe=IVF_NPROBE
+        _knn_queries(emb), assigned, cents, k=KNN_K, nprobe=IVF_NPROBE,
+        centroid_rows=_ivf_centroid_rows(spark, sf_dir),
     )
     return out.withColumnRenamed("rank", "rnk")
 
@@ -1185,6 +1186,20 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, variant: str = "all") -> Da
     return _IVF_ARTIFACTS[key]
 
 
+def _ivf_centroid_rows(spark: SparkSession, sf_dir: str, variant: str = "all") -> list:
+    """The stored centroid table collected to the driver, once per
+    (session, table, variant) — the in-memory coarse quantizer a FAISS-style
+    deployment loads when it opens an index (C ≈ √(N/2) tiny rows; the
+    collect is part of index OPEN, not per-query work). Serving paths pass
+    these rows so probe selection runs driver-side (r11 optimization:
+    operators.ivf.probe_pairs_local) instead of planning a crossJoin +
+    window exchange per search call."""
+    key = (spark.sparkContext.applicationId, sf_dir, "cent_rows", variant)
+    if key not in _IVF_ARTIFACTS:
+        _IVF_ARTIFACTS[key] = _ivf_centroids(spark, sf_dir, variant).collect()
+    return _IVF_ARTIFACTS[key]
+
+
 def _ivf_pq_coded(spark: SparkSession, sf_dir: str):
     """The cluster-assigned PQ codes table IS the stored IVF-PQ index
     (written ``partitionBy("cluster_id")`` at scale — ivf_pq_search
@@ -1198,6 +1213,7 @@ def _ivf_pq_coded(spark: SparkSession, sf_dir: str):
             "vec_id", "embedding", "label"
         )
         cents = _ivf_centroids(spark, sf_dir)
+        _ivf_centroid_rows(spark, sf_dir)  # index open: coarse table → driver
         assigned = ivf_ops.assign_clusters(emb, cents).select("vec_id", "cluster_id")
         _, codes = _pq_artifacts(spark, sf_dir)
         coded = codes.join(assigned, "vec_id").cache()
@@ -1261,12 +1277,12 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebooks, codes = _pq_artifacts(spark, sf_dir)
     qrows = emb.orderBy("vec_id").limit(PQ_NQ).collect()
-    q = spark.createDataFrame(
-        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
-    )
-    return pq_ops.adc_topk(q, codes, codebooks, k=10).withColumnRenamed(
-        "rank", "rnk"
-    )
+    # r11: the collected rows feed the ADC LUTs directly — round-tripping
+    # them through a 4-row local DataFrame cost a createDataFrame plus a
+    # local collect() per call (measured ~0.4 s of pure driver overhead).
+    return pq_ops.adc_topk(
+        [(r["vec_id"], r["embedding"]) for r in qrows], codes, codebooks, k=10
+    ).withColumnRenamed("rank", "rnk")
 
 
 PQ_REFINE_SHORTLIST = 50
@@ -1315,10 +1331,12 @@ def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebooks, codes = _pq_artifacts(spark, sf_dir)
     qrows = emb.orderBy("vec_id").limit(PQ_NQ).collect()
-    q = spark.createDataFrame(
-        [(r["vec_id"], r["embedding"]) for r in qrows], "qid long, qvec array<float>"
-    )
-    shortlist = pq_ops.adc_topk(q, codes, codebooks, k=PQ_REFINE_SHORTLIST)
+    qpairs = [(r["vec_id"], r["embedding"]) for r in qrows]
+    # A LocalRelation stays for the exact re-rank's broadcast join (no
+    # ExistingRDD broadcast job); the ADC stage takes the rows directly
+    # (r11 — see q_pq_adc_topk and knn.local_queries_df).
+    q = knn_ops.local_queries_df(spark, qpairs)
+    shortlist = pq_ops.adc_topk(qpairs, codes, codebooks, k=PQ_REFINE_SHORTLIST)
     return rerank_exact(shortlist, emb, q, k=10).withColumnRenamed("rank", "rnk")
 
 
@@ -1375,7 +1393,8 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, _ = _pq_artifacts(spark, sf_dir)
     cents, coded = _ivf_pq_coded(spark, sf_dir)
     return pq_ops.ivf_pq_search(
-        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=IVF_NPROBE
+        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=IVF_NPROBE,
+        centroid_rows=_ivf_centroid_rows(spark, sf_dir),
     ).withColumnRenamed("rank", "rnk")
 
 
@@ -1482,7 +1501,8 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     cents, codebooks, coded = _ivf_pq_residual_artifacts(spark, sf_dir)
     return pq_ops.ivf_pq_residual_search(
-        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=IVF_NPROBE
+        _knn_queries(emb), coded, cents, codebooks, k=KNN_K, nprobe=IVF_NPROBE,
+        centroid_rows=_ivf_centroid_rows(spark, sf_dir),
     ).withColumnRenamed("rank", "rnk")
 
 

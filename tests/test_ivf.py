@@ -300,3 +300,32 @@ def test_knn_join_query_chunk_boundary(spark):
     }
     got = {(r["qid"], r["vec_id"], r["dist"]) for r in rows}
     assert got <= want and len(got) == len(rows)
+
+
+def test_probe_pairs_local_matches_declarative(spark):
+    """probe_pairs_local (the r11 driver-side serving probe) must pick
+    exactly the pairs the declarative window probe picks — same rounded
+    distances, same cluster_id tie-break — for both metrics and nprobe
+    values, using ALL corpus vectors as queries for breadth."""
+    from pyspark.sql import functions as F
+
+    from stackai_vector_db_spark.catalog import load_table
+    from stackai_vector_db_spark.operators.ivf import (
+        label_mean_centroids,
+        probe_clusters,
+        probe_pairs_local,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = label_mean_centroids(emb)
+    cent_rows = cents.collect()
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    qrows = q.collect()
+    for metric in ("euclidean", "cosine"):
+        for nprobe in (1, 2):
+            a = {
+                (r["qid"], r["cluster_id"])
+                for r in probe_clusters(q, cents, nprobe, metric).collect()
+            }
+            b = set(probe_pairs_local(qrows, cent_rows, nprobe, metric))
+            assert a == b, (metric, nprobe)
