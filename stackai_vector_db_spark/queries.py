@@ -1102,6 +1102,29 @@ def q_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
 
 
+# Stored-artifact partition sizing (r11 optimization round, guide §2/§6):
+# partition counts for cached index artifacts derive from DATA VOLUME, not
+# core count. The builders repartition(defaultParallelism) BEFORE their
+# expensive per-row compute (embed, shingle-hash, encode) — right for
+# build throughput — but caching that layout leaves a tiny result spread
+# over 32 near-empty partitions, so every query stage over the artifact
+# schedules 32 tasks (and every broadcast of it runs a 32-task job):
+# measured ~0.3 s of pure task overhead on a no-Python broadcast-join
+# count over a 2,000-row cache. Laying the RESULT out by size (one small
+# build-time shuffle) gives small corpora 1 partition and 100 TB corpora
+# thousands — the same rule file sizing follows on a real write path.
+_ARTIFACT_PART_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ARTIFACT_PART_BYTES", str(64 << 20))
+)
+
+
+def _layout_partitions(n_rows: int, row_bytes: int) -> int:
+    """Partition count for a stored-artifact cache: ceil(volume / target),
+    floor 1. ``row_bytes`` is a documented per-table width estimate — an
+    estimate off by 2× moves the boundary, never the asymptotics."""
+    return max(1, -(-int(n_rows) * int(row_bytes) // _ARTIFACT_PART_BYTES))
+
+
 _PQ_ARTIFACTS: dict = {}
 
 
@@ -1180,7 +1203,11 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, variant: str = "all") -> Da
         emb = load_table(spark, sf_dir, "embeddings")
         if variant == "old":
             emb = emb.filter(F.col("vec_id") % 10 != 0)
-        cents = ivf_ops.label_mean_centroids(emb).cache()
+        # One partition: C ≈ √(N/2) by construction (reference ivf.py:26),
+        # so even 1B vectors give ~22k rows ≈ 11 MB — but the groupBy that
+        # builds the table leaves shuffle.partitions near-empty partitions,
+        # and every broadcast of the cache then runs that many tasks (r11).
+        cents = ivf_ops.label_mean_centroids(emb).repartition(1).cache()
         cents.count()  # eager fill — tiny (C rows)
         _IVF_ARTIFACTS[key] = cents
     return _IVF_ARTIFACTS[key]
@@ -1216,7 +1243,10 @@ def _ivf_pq_coded(spark: SparkSession, sf_dir: str):
         _ivf_centroid_rows(spark, sf_dir)  # index open: coarse table → driver
         assigned = ivf_ops.assign_clusters(emb, cents).select("vec_id", "cluster_id")
         _, codes = _pq_artifacts(spark, sf_dir)
-        coded = codes.join(assigned, "vec_id").cache()
+        # ~50 B/row (id + M int codes + cluster); codes is already cached
+        # so the sizing count is a cheap build-time job.
+        n_parts = _layout_partitions(codes.count(), 50)
+        coded = codes.join(assigned, "vec_id").repartition(n_parts).cache()
         coded.count()  # eager fill
         _IVF_ARTIFACTS[key] = (cents, coded)
     return _IVF_ARTIFACTS[key]
@@ -1432,7 +1462,10 @@ def _ivf_pq_residual_artifacts(spark: SparkSession, sf_dir: str):
             ),
         )
         codebooks, coded = loaded
-        coded = coded.cache()
+        # Same size-derived cache layout as _ivf_pq_coded (~60 B/row).
+        coded = coded.repartition(
+            _layout_partitions(coded.count(), 60)
+        ).cache()
         coded.count()
         _IVF_ARTIFACTS[key] = (cents, codebooks, coded)
     return _IVF_ARTIFACTS[key]
@@ -2794,9 +2827,13 @@ def _lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = base.select(
             "doc_id", minhash_signature(F.col("shingle_set"), 16).alias("sig")
         )
+        # ~24 B/row (id, band, bh) × n_bands rows per doc; base is cached,
+        # so the sizing count is cheap (r11 size-derived cache layout).
+        n_parts = _layout_partitions(base.count() * 4, 24)
         banded = (
             sig.select("doc_id", F.explode(band_hashes(F.col("sig"), 4, 4)).alias("b"))
             .select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+            .repartition(n_parts)
             .persist()
         )
         banded.count()
@@ -2841,9 +2878,20 @@ def _shingle_base(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir, k)
     if key not in _SHINGLE_BASE:
-        base = with_shingle_sets(
-            _aug_docs(spark, sf_dir), "text", "doc_id", k, strategy="arrow"
-        ).persist()
+        # Size-derived layout for the cached result (r11): the builder
+        # spreads the shingle-hash compute across cores, but the stored
+        # table should hold volume-sized partitions (~600 B/row: id +
+        # shingle-hash array of a document-length text). Row count from
+        # parquet metadata + the 1-in-50 augmentation.
+        docs_n = load_table(spark, sf_dir, "documents").count()
+        n_parts = _layout_partitions(docs_n + docs_n // 50 + 1, 600)
+        base = (
+            with_shingle_sets(
+                _aug_docs(spark, sf_dir), "text", "doc_id", k, strategy="arrow"
+            )
+            .repartition(n_parts)
+            .persist()
+        )
         base.count()  # eager fill — three plan branches read this subtree
         _SHINGLE_BASE[key] = base
     return _SHINGLE_BASE[key]
@@ -3336,11 +3384,18 @@ def _e2e_embdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _E2E_EMBDOCS:
         docs = load_table(spark, sf_dir, "documents")
         par = spark.sparkContext.defaultParallelism
+        # Build compute fans out across cores (repartition(par) BEFORE the
+        # O(len) embed); the stored result is then laid out by volume
+        # (~200 B/row: ids + lang/source + dim-16 emb) so query stages over
+        # the cache schedule volume-many tasks, not core-many (r11).
+        n_parts = _layout_partitions(docs.count(), 200)
         embdocs = _persist_slot(
             (key[0], "e2e_embdocs", sf_dir),
             add_fake_embedding(
                 docs.repartition(par), "text", E2E_DIM, "emb", strategy="arrow"
-            ).select("doc_id", "lang", "source", "emb"),
+            )
+            .select("doc_id", "lang", "source", "emb")
+            .repartition(n_parts),
         )
         # Materialize eagerly: the kNN plan references embdocs from BOTH the
         # broadcast (query) side and the distributed scan side of one action —
