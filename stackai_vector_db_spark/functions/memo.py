@@ -1,0 +1,57 @@
+"""Memoization for pure Column-expression builders (r11 optimization).
+
+A ``pyspark.sql.Column`` is an immutable, session-independent expression
+tree; building a wide one (the dim-16 fake embedding, the stopword
+language-ID CASE tree, a prenormed cosine) costs hundreds of py4j round
+trips — measured 256 ms → 44 ms plan-build on the fake-embedding
+projection when the Columns are reused. Queries rebuild these identical
+trees on every call, so builders memoize on the *printed form* of their
+Column inputs plus their primitive arguments: same input expression ⇒
+same output tree, and the cached Column is only ever composed into new
+plans, never mutated. Analysis, optimization and execution still run per
+query — only expression CONSTRUCTION is shared.
+
+The cache lives for the process (the JVM gateway outlives individual
+SparkSessions, and a process restart reimports the module), and is only
+applied to builders whose arguments are Columns/strings/primitives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column
+
+
+def _key_part(arg):
+    if isinstance(arg, Column):
+        return ("c", arg._jc.toString())
+    if isinstance(arg, (str, int, float, bool, type(None))):
+        return ("p", arg)
+    if isinstance(arg, tuple):
+        return ("t", tuple(_key_part(a) for a in arg))
+    raise TypeError(f"unmemoizable argument type {type(arg)!r}")
+
+
+def memoized_expr(fn):
+    """Memoize a pure Column builder on (Column print-forms, primitives).
+
+    Falls back to building fresh whenever an argument is not keyable —
+    memoization is an optimization, never a behavior change."""
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            key = (
+                tuple(_key_part(a) for a in args),
+                tuple(sorted((k, _key_part(v)) for k, v in kwargs.items())),
+            )
+        except TypeError:
+            return fn(*args, **kwargs)
+        hit = cache.get(key)
+        if hit is None:
+            hit = cache[key] = fn(*args, **kwargs)
+        return hit
+
+    return wrapper

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from stackai_vector_db_spark.functions.memo import memoized_expr
+
 # BPE-ish tokenizer regex: letter runs, digit runs, or single non-space symbol.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -31,6 +33,7 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+@memoized_expr
 def char_sum(text: Column | str) -> Column:
     """Σ codepoint(c) over the string — codepoint-safe (CJK included)."""
     t = _c(text)
@@ -39,12 +42,14 @@ def char_sum(text: Column | str) -> Column:
     )
 
 
+@memoized_expr
 def token_count_ws(text: Column | str) -> Column:
     """Whitespace token count, Python ``str.split()`` semantics (empty → 0)."""
     t = F.trim(_c(text))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
+@memoized_expr
 def token_count_regex(text: Column | str) -> Column:
     """BPE-ish token count via TOKEN_REGEX."""
     return F.size(F.regexp_extract_all(_c(text), F.lit(TOKEN_REGEX), F.lit(0)))
@@ -59,6 +64,7 @@ _PUNCT_KEEP = (
 )
 
 
+@memoized_expr
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters matching ``[^A-Za-z0-9\\s]``.
 
@@ -87,6 +93,7 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
+@memoized_expr
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     """Fraction of whitespace tokens that are stopwords of ``lang``."""
     t = F.lower(F.trim(_c(text)))
@@ -99,6 +106,7 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     )
 
 
+@memoized_expr
 def quality_score(text: Column | str) -> Column:
     """Heuristic doc-quality score in [0, 1]: rewards mid-length documents
     and stopword presence, penalizes punctuation density.
@@ -116,6 +124,7 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+@memoized_expr
 def lang_id(text: Column | str) -> Column:
     """Lexicon language-ID: CJK codepoints ⇒ zh, else argmax stopword hits
     (deterministic tie-break by language code order en < es < de < fr,
@@ -139,6 +148,7 @@ def lang_id(text: Column | str) -> Column:
     return F.when(has_cjk, "zh").otherwise(F.when(best == 0, "en").otherwise(pick))
 
 
+@memoized_expr
 def rolling_fingerprint(text: Column | str) -> Column:
     """Polynomial rolling hash over codepoints of lower(trim(text)):
     h = (h·31 + codepoint) mod 1e9+7 — an order-sensitive document

@@ -19,11 +19,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from stackai_vector_db_spark.functions.memo import memoized_expr
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+@memoized_expr
 def squared_euclidean(a: Column | str, b: Column | str) -> Column:
     """Sum of squared element differences, DOUBLE accumulation."""
     a, b = _c(a), _c(b)
@@ -31,6 +34,7 @@ def squared_euclidean(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+@memoized_expr
 def euclidean_distance(a: Column | str, b: Column | str) -> Column:
     """L2 distance (reference ``base.py:207-211``)."""
     return F.sqrt(squared_euclidean(a, b))
@@ -41,6 +45,7 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+@memoized_expr
 def cosine_distance(a: Column | str, b: Column | str) -> Column:
     """1 − cosine similarity, with the reference's zero-norm guard
     (``base.py:218-219``: zero norm ⇒ max distance 1.0)."""
@@ -50,6 +55,7 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     return F.when(norms == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) - dot / norms)
 
 
+@memoized_expr
 def vector_norm(a: Column | str) -> Column:
     """‖a‖₂ as the exact subexpression cosine_distance uses (sqrt of the
     same DOUBLE dot-product aggregate) — for hoisting out of joins."""
@@ -57,6 +63,7 @@ def vector_norm(a: Column | str) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+@memoized_expr
 def cosine_distance_prenormed(
     a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
 ) -> Column:
@@ -101,6 +108,7 @@ def py_word_count(clean: Column) -> Column:
     )
 
 
+@memoized_expr
 def fake_embedding(text: Column | str, dim: int) -> Column:
     """Deterministic fake embedding (reference ``app/clients/embedding.py:95-127``).
 

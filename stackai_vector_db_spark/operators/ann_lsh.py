@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from stackai_vector_db_spark.functions.memo import memoized_expr
 from stackai_vector_db_spark.operators.knn import ROUND
 
 # Hyperplane component (p = plane index, d = dimension index):
@@ -49,6 +50,7 @@ def _dot(vec: Column, h: Column) -> Column:
     )
 
 
+@memoized_expr
 def bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
     """Sign-bit bucket id in [0, 2^n_planes).
 
