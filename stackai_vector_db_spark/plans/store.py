@@ -38,7 +38,7 @@ from stackai_vector_db_spark.operators.ivf import (
     kmeans_centroids,
     probe_clusters,
 )
-from stackai_vector_db_spark.operators.knn import brute_force_topk
+from stackai_vector_db_spark.operators.knn import brute_force_topk, local_queries_df
 
 from stackai_vector_db_spark.plans.metadata import (
     CHUNK_METADATA_BOUNDS,
@@ -616,7 +616,13 @@ class VectorStore:
         _validate_k(k)
         text = _validate_query_text(text)
         self._check_library_exists(library_id)
-        q = self.spark.createDataFrame([(0, text)], "qid long, qtext string").select(
+        # Parameterized one-row relation instead of createDataFrame: the
+        # latter plans as a pickled-rows ExistingRDD whose every broadcast
+        # runs a Python-worker job (r11 optimization — same fix as the
+        # bench serving paths; see operators/knn.local_queries_df).
+        q = self.spark.sql(
+            "SELECT CAST(0 AS long) AS qid, :t AS qtext", args={"t": text}
+        ).select(
             "qid",
             fake_embedding(F.col("qtext"), self.dim).cast("array<float>").alias("qvec"),
         )
@@ -724,12 +730,20 @@ class VectorStore:
                     f"embedding value at index {i} is out of range (±1e6)"
                 )
         self._check_library_exists(library_id)
-        q = self.spark.createDataFrame(
-            [(0, [float(x) for x in vector])], "qid long, qvec array<float>"
-        )
+        # LocalRelation query vector + driver-side probe selection over the
+        # stored centroid table (r11 — the serving-path form proven
+        # value-identical in operators/ivf.probe_pairs_local): removes the
+        # ExistingRDD broadcast job and the probe window's exchange from
+        # every vector search.
+        from stackai_vector_db_spark.operators.ivf import local_probes_df
+
+        qpair = (0, [float(x) for x in vector])
+        q = local_queries_df(self.spark, [qpair])
         idx, cents = self.read_index(version)
         idx = idx.filter(F.col("library_id") == library_id)
-        probes = probe_clusters(q, cents, nprobe)
+        probes = local_probes_df(
+            self.spark, [qpair], cents, cents.collect(), nprobe
+        )
         cand = self._skip_tombstones(
             idx.join(
                 F.broadcast(probes.select("cluster_id").distinct()), "cluster_id"
