@@ -41,6 +41,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # source mtime) so a rewritten fixture (or a different session) never
 # serves a stale file list; the DataFrame itself is lazy — every query
 # still plans, optimizes and executes from the parquet bytes per call.
+# Limitation (documented, not hit by any repo path): for a DIRECTORY-style
+# table the key sees entry add/remove/rename (every Spark write does one),
+# but not an in-place byte rewrite of an existing part file with no
+# rename — such a writer must touch the directory or use a new session.
 _TABLE_CACHE: dict = {}
 
 

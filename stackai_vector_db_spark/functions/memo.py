@@ -25,7 +25,22 @@ from pyspark.sql import Column
 
 def _key_part(arg):
     if isinstance(arg, Column):
-        return ("c", arg._jc.toString())
+        jc = arg._jc
+        try:
+            node = jc.node().toString()
+        except Exception as exc:  # non-classic runtime: don't memoize
+            raise TypeError("column node unavailable") from exc
+        # A RESOLVED attribute (df['x'] — an ExpressionColumnNode carrying
+        # an exprId) is bound to one specific plan; its pretty-print drops
+        # the exprId, so two different DataFrames' columns would collide on
+        # the key and the cached tree would mis-bind in the caller's plan.
+        # Unresolved trees (F.col/F.lit compositions) have no hidden state
+        # beyond the semantics their print shows — they re-resolve against
+        # whichever plan the result is used in, which is exactly the
+        # interchangeability the memo needs. Resolved inputs build fresh.
+        if "ExpressionColumnNode" in node:
+            raise TypeError("resolved column is plan-bound")
+        return ("c", jc.toString())
     if isinstance(arg, (str, int, float, bool, type(None))):
         return ("p", arg)
     if isinstance(arg, tuple):
@@ -33,11 +48,21 @@ def _key_part(arg):
     raise TypeError(f"unmemoizable argument type {type(arg)!r}")
 
 
+# Per-builder cache bound: serving paths may legitimately call a builder
+# with an unbounded stream of distinct literals (e.g. fake_embedding over
+# F.lit(chunk_text) in store.update_chunk) — without a cap every distinct
+# text would pin a wide expression tree in the dict AND the JVM forever.
+# FIFO eviction keeps the steady-state working set (the query registry's
+# fixed expression shapes) hot while bounding the literal churn.
+_MAX_ENTRIES = 256
+
+
 def memoized_expr(fn):
     """Memoize a pure Column builder on (Column print-forms, primitives).
 
-    Falls back to building fresh whenever an argument is not keyable —
-    memoization is an optimization, never a behavior change."""
+    Falls back to building fresh whenever an argument is not keyable
+    (resolved plan-bound columns included) — memoization is an
+    optimization, never a behavior change."""
     cache: dict = {}
 
     @functools.wraps(fn)
@@ -51,6 +76,8 @@ def memoized_expr(fn):
             return fn(*args, **kwargs)
         hit = cache.get(key)
         if hit is None:
+            if len(cache) >= _MAX_ENTRIES:
+                cache.pop(next(iter(cache)))
             hit = cache[key] = fn(*args, **kwargs)
         return hit
 

@@ -185,6 +185,14 @@ def probe_pairs_local(
     rows; cosine applies the zero-norm ⇒ 1.0 guard of
     ``functions.vector.cosine_distance``. Returns ``[(qid, cluster_id)]``
     in (query, rank) order.
+
+    Honest caveat (same class the engine carries everywhere — knn._block_dists
+    vs the HOF window form, numpy vs DuckDB sum orders): numpy's pairwise
+    summation can differ from the JVM fold in the last ulp, so a true
+    distance within ~1e-14 of a 0.5e-6 rounding boundary could in principle
+    round differently and flip a probe. The float64 + round-6 convention
+    makes this measure-zero in practice; the strict oracle sweeps at three
+    SFs and the all-vectors parity test pin it on every fixture.
     """
     import numpy as np
 
@@ -219,17 +227,21 @@ def local_probes_df(
     centroid_rows,
     nprobe: int,
     metric: Metric = "euclidean",
+    pairs=None,
 ):
     """``probe_pairs_local`` as a (qid, cluster_id) LocalRelation DataFrame
     whose cluster_id dtype matches ``centroids`` exactly (so the candidate
-    join needs no cast).
+    join needs no cast). A caller that already computed the selection (the
+    residual search needs the pairs for its LUTs too) passes it via
+    ``pairs`` so it is not derived twice.
 
     Built via a ``VALUES`` literal, NOT ``spark.createDataFrame``: the
     latter produces a pickled-rows ``Scan ExistingRDD`` whose every
     broadcast runs a Spark job through a Python worker (measured ~0.3 s per
     call); a LocalRelation broadcast is assembled driver-side with no job
     at all."""
-    pairs = probe_pairs_local(query_rows, centroid_rows, nprobe, metric)
+    if pairs is None:
+        pairs = probe_pairs_local(query_rows, centroid_rows, nprobe, metric)
     cid_dt = dict(centroids.dtypes)["cluster_id"]
     if not pairs:
         return spark.sql(

@@ -509,7 +509,8 @@ def ivf_pq_residual_search(
         luts[(qid, cid)] = lut.ravel()
 
     probes = local_probes_df(
-        coded_vectors.sparkSession, qrows, centroids, centroid_rows, nprobe
+        coded_vectors.sparkSession, qrows, centroids, centroid_rows, nprobe,
+        pairs=probe_pairs,
     )
     cand = coded_vectors.join(F.broadcast(probes), "cluster_id").select(
         "qid", "vec_id", "codes", "cluster_id"

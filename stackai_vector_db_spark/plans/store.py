@@ -103,6 +103,8 @@ class VectorStore:
         self.spark = spark
         self.root = root
         self.dim = dim
+        # collected centroid tables per immutable index-version path
+        self._cent_rows_cache: dict = {}
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
 
     # ---- version pointer (snapshot swap) ---------------------------------
@@ -600,6 +602,19 @@ class VectorStore:
         cents = self.spark.read.parquet(os.path.join(path, "_centroids"))
         return chunks, cents
 
+    def _centroid_rows(self, version: int | None = None):
+        """The versioned centroid table collected once per index version —
+        index OPEN work (the in-memory coarse quantizer), shared by every
+        subsequent search instead of re-collected per query. Versions are
+        immutable (pointer-swap writes), so the path is a safe cache key."""
+        v = self.versions()["index"] if version is None else version
+        path = self._index_path(v)
+        rows = self._cent_rows_cache.get(path)
+        if rows is None:
+            _, cents = self.read_index(v)
+            rows = self._cent_rows_cache[path] = cents.collect()
+        return rows
+
     # ---- search (trace §3.1) ---------------------------------------------
 
     def search_text(
@@ -742,7 +757,7 @@ class VectorStore:
         idx, cents = self.read_index(version)
         idx = idx.filter(F.col("library_id") == library_id)
         probes = local_probes_df(
-            self.spark, [qpair], cents, cents.collect(), nprobe
+            self.spark, [qpair], cents, self._centroid_rows(version), nprobe
         )
         cand = self._skip_tombstones(
             idx.join(

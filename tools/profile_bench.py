@@ -8,7 +8,6 @@ artifact pre-build, same warm-up) but splits the timed call into:
   centroid reads, ``.rdd.getNumPartitions()`` gates ...)
 - ``exec_s``: time for the final ``.count()`` action
 - ``jobs``: Spark jobs launched across the whole call (statusTracker delta)
-- ``stages``: stages launched across the whole call
 
 Usage: python tools/profile_bench.py [sf_dir] [n_iter]
 Writes JSON to stdout (one line) and a readable table to stderr.
@@ -90,7 +89,7 @@ def main() -> None:
         if qd is None:
             continue
         q_sf = split if name == "q_corpus_pipeline" else sf_dir
-        builds, execs, jobsl, stagesl = [], [], [], []
+        builds, execs, jobsl = [], [], []
         for _ in range(n_iter):
             j0 = len(tracker.getJobIdsForGroup(None) or [])
             spark.sparkContext.setJobDescription(f"profile:{name}")
