@@ -25,8 +25,11 @@ from pyspark.sql import Column
 
 def _key_part(arg):
     if isinstance(arg, Column):
-        jc = arg._jc
         try:
+            # _jc itself raises under Spark Connect (PySparkAttributeError,
+            # an AttributeError) — keep it inside the try so a non-classic
+            # runtime falls back to building fresh instead of crashing.
+            jc = arg._jc
             node = jc.node().toString()
         except Exception as exc:  # non-classic runtime: don't memoize
             raise TypeError("column node unavailable") from exc
@@ -42,7 +45,11 @@ def _key_part(arg):
             raise TypeError("resolved column is plan-bound")
         return ("c", jc.toString())
     if isinstance(arg, (str, int, float, bool, type(None))):
-        return ("p", arg)
+        # Type-tagged: True == 1 == 1.0 are dict-key-equal in Python, so a
+        # builder called with arguments differing only in numeric type would
+        # otherwise get the other type's cached tree (latent — no current
+        # caller mixes types on one builder, but the memo is general).
+        return ("p", type(arg).__name__, arg)
     if isinstance(arg, tuple):
         return ("t", tuple(_key_part(a) for a in arg))
     raise TypeError(f"unmemoizable argument type {type(arg)!r}")

@@ -23,10 +23,25 @@ Two centroid sources:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from stackai_vector_db_spark.operators.knn import Metric, ROUND, distance_col
+
+# Driver-side probe-selection budget (r12, closing the r11 verdict's
+# unguarded-path finding): probe_pairs_local is O(Q·C·D) driver compute and
+# O(C·D) driver memory. Under the serving contract both factors are small —
+# Q ≤ a handful of query vectors per request (reference
+# app/schemas/search.py:22-27) and C = √(N/2) coarse centroids (reference
+# ivf.py:26), i.e. C ≈ 2.2e5 at 100 TB / N ≈ 1e11 vectors, so Q·C ≈ 1.8e6
+# pairs for Q = 8 — milliseconds of numpy. The cap enforces the contract:
+# a caller handing a corpus-sized query set to the serving path falls back
+# to the distributed probe instead of serializing Q·C work on the driver.
+MAX_LOCAL_PROBE_PAIRS = int(
+    os.environ.get("SPARK_GRAFT_MAX_LOCAL_PROBE_PAIRS", str(4_000_000))
+)
 
 
 def label_mean_centroids(vectors: DataFrame, label_col: str = "label",
@@ -196,6 +211,11 @@ def probe_pairs_local(
     """
     import numpy as np
 
+    if not centroid_rows:
+        # An empty/corrupted centroid table would otherwise die in numpy
+        # broadcasting ((0,)-shaped cmat); no centroids ⇒ no probe pairs,
+        # exactly what the declarative probe returns.
+        return []
     rows = sorted(centroid_rows, key=lambda r: r["cluster_id"])
     cids = [r["cluster_id"] for r in rows]
     cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
@@ -342,10 +362,18 @@ def ivf_search(
     """
     if centroid_rows is not None:
         qrows = queries.select(qid_col, qvec_col).collect()
-        probes = local_probes_df(
-            assigned_vectors.sparkSession, qrows, centroids, centroid_rows,
-            nprobe, metric,
-        )
+        if len(qrows) * len(centroid_rows) > MAX_LOCAL_PROBE_PAIRS:
+            # Contract breach (see MAX_LOCAL_PROBE_PAIRS): don't serialize
+            # Q·C probe selection on the driver — the declarative probe
+            # computes the same pairs distributed, value-identically.
+            probes = probe_clusters(
+                queries, centroids, nprobe, metric, qid_col, qvec_col
+            )
+        else:
+            probes = local_probes_df(
+                assigned_vectors.sparkSession, qrows, centroids,
+                centroid_rows, nprobe, metric,
+            )
     else:
         probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
     # Per-query candidate set: vectors in probed clusters only.

@@ -335,11 +335,18 @@ def ivf_pq_search(
         qsub = qmat[:, sub * d_sub : (sub + 1) * d_sub]
         luts[:, sub, :] = _lut_sq_dists(qsub, codebooks[sub])
 
-    if centroid_rows is not None:
+    from stackai_vector_db_spark.operators.ivf import MAX_LOCAL_PROBE_PAIRS
+
+    if (
+        centroid_rows is not None
+        and len(qrows) * len(centroid_rows) <= MAX_LOCAL_PROBE_PAIRS
+    ):
         probes = local_probes_df(
             coded_vectors.sparkSession, qrows, centroids, centroid_rows, nprobe
         )
     else:
+        # No centroid rows, or a query set past the driver-side probe
+        # budget (ivf.MAX_LOCAL_PROBE_PAIRS): select probes distributed.
         probes = probe_clusters(
             queries, centroids, nprobe, "euclidean", qid_col, qvec_col
         )

@@ -752,7 +752,15 @@ class VectorStore:
         # every vector search.
         from stackai_vector_db_spark.operators.ivf import local_probes_df
 
-        qpair = (0, [float(x) for x in vector])
+        # Round-trip the query through float32 FIRST: candidate scoring via
+        # local_queries_df casts to array<float>, so probe selection must
+        # see the same float32-quantized values — a raw float64 component
+        # near a rounding boundary (±1e6 inputs are allowed, where float32
+        # truncation ~0.06 ≫ the 0.5e-6 round-6 granularity) could
+        # otherwise pick a different cluster than the scoring space would.
+        import numpy as np
+
+        qpair = (0, [float(x) for x in np.asarray(vector, dtype=np.float32)])
         q = local_queries_df(self.spark, [qpair])
         idx, cents = self.read_index(version)
         idx = idx.filter(F.col("library_id") == library_id)

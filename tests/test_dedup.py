@@ -817,6 +817,17 @@ def test_span_probe_partitioned_identity(spark):
 
     ndocs, k, parts = 400, 4, 3
     db = "span_probe_parts_test"
+    # Idempotency: an interrupted earlier run can leave warehouse files a
+    # fresh session's catalog does not know about; clean BEFORE building,
+    # not only after, so a stale tree cannot poison this run.
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    _shutil.rmtree(
+        os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            f"{db}.db",
+        ),
+        ignore_errors=True,
+    )
     out = run(
         spark, ndocs, k, period=997, dup_per_100=10, mixer="hashed",
         phases={"build", "score", "incremental"}, db=db,

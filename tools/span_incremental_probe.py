@@ -256,6 +256,18 @@ def run(spark, ndocs: int, n_batches: int, period: int = 4_000_000_553,
         return u
 
     if "build" in phases:
+        # Pre-clean every version this build will (re)create: an
+        # interrupted earlier run can leave index files in the warehouse
+        # that a FRESH session's in-memory catalog knows nothing about,
+        # and saveAsTable then dies with LOCATION_ALREADY_EXISTS instead
+        # of overwriting. A build run owns all versions of this db's
+        # index by contract, so dropping catalog entry + files + meta
+        # sidecar up front makes the build idempotent.
+        for i in range(n_batches):
+            for name in _final_names(i + 1, parts):
+                _drop_index(spark, db, name)
+        shutil.rmtree(_warehouse_path(spark, db, "batch_idx_tmp"),
+                      ignore_errors=True)
         t_all = time.perf_counter()
         for i in range(n_batches):
             t0 = time.perf_counter()
