@@ -100,3 +100,41 @@ def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+# Stored-artifact partition sizing (r11 guide §2/§6; hoisted here in r12 so
+# streaming state writes share it): partition counts for cached/persisted
+# artifacts derive from DATA VOLUME, not core count — ceil(volume / target),
+# floor 1, so small artifacts get 1 partition and 100 TB gets thousands.
+ARTIFACT_PART_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ARTIFACT_PART_BYTES", str(64 << 20))
+)
+
+
+def layout_partitions(n_rows: int, row_bytes: int) -> int:
+    """Partition count for a stored artifact: ceil(volume / target), floor
+    1. ``row_bytes`` is a documented per-table width estimate — an estimate
+    off by 2× moves the boundary, never the asymptotics."""
+    return max(1, -(-int(n_rows) * int(row_bytes) // ARTIFACT_PART_BYTES))
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a fixture table (single file or directory of part
+    files) — driver-side file metadata only, the same class of stat the
+    planner's file index already performs. Used by scale gates (e.g. the
+    corpus-pipeline Arrow-kernel switch): plan shape decisions keyed on
+    INPUT VOLUME, not core count, so small corpora and 100 TB corpora each
+    get the path that wins at their scale. Returns 0 when the path is
+    missing (callers fall back to the small-input plan and the read itself
+    raises the clear error)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total

@@ -275,6 +275,35 @@ def local_probes_df(
     )
 
 
+def local_centroids_df(spark, centroid_pairs):
+    """A bounded centroid set as a (cluster_id int, centroid array<double>)
+    LocalRelation — the centroid twin of ``knn.local_queries_df`` (r12).
+
+    Built via a ``VALUES`` literal, not ``spark.createDataFrame``: the
+    latter plans as a pickled-rows ``Scan ExistingRDD`` whose every
+    broadcast runs a Spark job through a Python worker — a cost the
+    streaming incremental-index path paid once per micro-batch, forever.
+    Float literals use ``repr`` (shortest exact round-trip, so the double
+    values are bit-identical); any non-finite component falls back to
+    ``createDataFrame`` since SQL float literals cannot spell inf/nan."""
+    import math
+
+    pairs = [(int(c), [float(x) for x in v]) for c, v in centroid_pairs]
+    if pairs and all(math.isfinite(x) for _, v in pairs for x in v):
+        vals = ", ".join(
+            "(%d, CAST(array(%s) AS array<double>))"
+            % (c, ",".join(repr(x) for x in v))
+            for c, v in pairs
+        )
+        return spark.sql(
+            "SELECT CAST(col1 AS int) cluster_id, col2 centroid "
+            f"FROM VALUES {vals}"
+        )
+    return spark.createDataFrame(
+        pairs, "cluster_id int, centroid array<double>"
+    )
+
+
 def probe_clusters_arrow(
     queries: DataFrame,
     centroids: DataFrame,

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from stackai_vector_db_spark import catalog
 from stackai_vector_db_spark.catalog import load_table
 from stackai_vector_db_spark.functions.sampling import (
     mix_bucket_sql,
@@ -1113,16 +1114,9 @@ def q_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count over a 2,000-row cache. Laying the RESULT out by size (one small
 # build-time shuffle) gives small corpora 1 partition and 100 TB corpora
 # thousands — the same rule file sizing follows on a real write path.
-_ARTIFACT_PART_BYTES = int(
-    os.environ.get("SPARK_GRAFT_ARTIFACT_PART_BYTES", str(64 << 20))
-)
-
-
-def _layout_partitions(n_rows: int, row_bytes: int) -> int:
-    """Partition count for a stored-artifact cache: ceil(volume / target),
-    floor 1. ``row_bytes`` is a documented per-table width estimate — an
-    estimate off by 2× moves the boundary, never the asymptotics."""
-    return max(1, -(-int(n_rows) * int(row_bytes) // _ARTIFACT_PART_BYTES))
+# Hoisted to catalog.layout_partitions in r12 (streaming epoch writes share
+# the rule); this alias keeps the established internal name.
+_layout_partitions = catalog.layout_partitions
 
 
 _PQ_ARTIFACTS: dict = {}
@@ -2132,6 +2126,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_KEEP = 0.5
 
+# Input-volume threshold above which q_corpus_pipeline's scoring stage runs
+# as the Arrow batch kernel instead of the JVM expression chain (measured
+# crossover between 0.6 MB / 5k docs where the kernel's fixed per-task
+# boundary cost loses, and 8.9 MB / 100k docs where its ~8× lower per-row
+# cost wins 2–5×; see q_corpus_pipeline and functions/text_arrow.py).
+_TEXT_KERNEL_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TEXT_KERNEL_MIN_BYTES", str(8 << 20))
+)
+
 
 @register(
     "q_corpus_pipeline",
@@ -2199,10 +2202,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture every lang's text is the same word distribution, so the
     heuristic predicts 'en' throughout — the pipeline shape, not the
     classifier, is what's under test.)"""
-    from stackai_vector_db_spark.functions.text import (
-        lang_id,
-        quality_score,
-        token_count_ws,
+    from stackai_vector_db_spark.functions.text_arrow import (
+        corpus_features_arrow,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -2223,14 +2224,40 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DROPPED before the dedup exchange — only (32-byte key, id, lang, score,
     # words) shuffle. Same groups as keying on text (no collisions at any
     # realistic corpus size), but the 100 TB shuffle is ~1% the bytes.
-    scored = d.select(
-        "doc_id",
-        F.sha2(F.col("text"), 256).alias("__key"),
-        "lang",
-        lang_id(F.col("text")).alias("lang_pred"),
-        F.round(quality_score(F.col("text")), 6).alias("score"),
-        token_count_ws(F.col("text")).cast("long").alias("words"),
-    )
+    #
+    # Scoring path is VOLUME-GATED (r12, guide §4.2 + §2's scale-adaptive
+    # rule; same spirit as the repartition gate above). Large inputs score
+    # in ONE Arrow batch kernel: the JVM expression chain costs ~240 µs of
+    # CPU per 300-char row (java.util.regex split ×3, per-position CJK
+    # regexp_extract_all, translate, sha2, the lang CASE tree) vs ~30 µs in
+    # C-backed Python — measured same-session A/B at 500k docs (54 MB):
+    # 3.7–3.9 s expressions vs 1.1–1.2 s kernel (3.3×), and 2–5× at 100k
+    # docs (8.9 MB). Small inputs keep the expression projection: the
+    # kernel's fixed per-task Python/Arrow round-trip (~6 ms × 32 tasks)
+    # exceeds the whole expression stage at 5k rows (0.36 s vs 0.14 s
+    # measured) — so the gate picks whichever side the measured crossover
+    # (between 0.6 and 8.9 MB; default 8 MB, env-overridable) favors.
+    # Value-identity of the two paths is the Java↔Python parity contract
+    # pinned in functions/text_arrow.py + tests/test_text_arrow.py
+    # (trim/\s/split/lower/length/round-HALF_UP semantics, adversarial
+    # corpus + full-fixture sweeps + strict oracle on both paths).
+    if catalog.table_bytes(sf_dir, "documents") >= _TEXT_KERNEL_MIN_BYTES:
+        scored = corpus_features_arrow(d.select("doc_id", "lang", "text"))
+    else:
+        from stackai_vector_db_spark.functions.text import (
+            lang_id,
+            quality_score,
+            token_count_ws,
+        )
+
+        scored = d.select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("__key"),
+            "lang",
+            lang_id(F.col("text")).alias("lang_pred"),
+            F.round(quality_score(F.col("text")), 6).alias("score"),
+            token_count_ws(F.col("text")).cast("long").alias("words"),
+        )
     # Min-id keeper via row_number window. Measured against the
     # "obvious" improvement — a min_by(struct, doc_id) hash aggregate
     # with map-side partial merge — and the window wins (1.6-1.9s vs

@@ -44,8 +44,11 @@ from stackai_vector_db_spark.operators.dedup import (
     build_minhash_index,
     incremental_minhash_pairs,
 )
+from stackai_vector_db_spark.catalog import layout_partitions
 from stackai_vector_db_spark.streaming.dedup import (
+    _BANDED_ROW_BYTES,
     _BANDED_SCHEMA,
+    _BASE_ROW_BYTES,
     _BASE_SCHEMA,
     _overwrite_epoch,
     _read_or_empty,
@@ -197,9 +200,21 @@ def curation_ingest_stream(
         )
         # Fold the whole quality-passing batch into the index (victims
         # included: they are already represented, appending them is what
-        # keeps pair emission exactly-once across batches).
-        _overwrite_epoch(new_base, batch_id, base_path)
-        _overwrite_epoch(new_banded, batch_id, banded_path)
+        # keeps pair emission exactly-once across batches). Epoch files
+        # sized by volume, same rule and rationale as streaming/dedup.py
+        # (the state table accumulates per-epoch files forever; the count
+        # is a cache-hit job — incremental_minhash_pairs filled the cache).
+        n_new = new_base.count()
+        _overwrite_epoch(
+            new_base.coalesce(layout_partitions(n_new, _BASE_ROW_BYTES)),
+            batch_id, base_path,
+        )
+        _overwrite_epoch(
+            new_banded.coalesce(
+                layout_partitions(n_new * n_bands, _BANDED_ROW_BYTES)
+            ),
+            batch_id, banded_path,
+        )
         victims.unpersist()
         kept.unpersist()
 

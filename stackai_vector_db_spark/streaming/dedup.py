@@ -34,10 +34,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from stackai_vector_db_spark.catalog import layout_partitions
 from stackai_vector_db_spark.operators.dedup import (
     build_minhash_index,
     incremental_minhash_pairs,
 )
+
+# Per-row width estimates for the epoch-write layout (catalog
+# .layout_partitions): base carries (doc_id, shingle_set ~word-count
+# bigints) ≈ 400 B/doc at fixture word counts; banded carries n_bands
+# small rows/doc ≈ 24 B each.
+_BASE_ROW_BYTES = 400
+_BANDED_ROW_BYTES = 24
 
 _BASE_SCHEMA = "doc_id long, shingle_set array<bigint>, batch_id long"
 _BANDED_SCHEMA = "doc_id long, band int, bh bigint, batch_id long"
@@ -167,9 +175,28 @@ def dedup_ingest_stream(
         ).filter(F.col("id_a") != F.col("id_b"))
         _overwrite_epoch(pairs, batch_id, pairs_dir)
         # The operator persisted+filled these; the writes below read the
-        # cache, not the raw batch again.
-        _overwrite_epoch(new_base, batch_id, base_path)
-        _overwrite_epoch(new_banded, batch_id, banded_path)
+        # cache, not the raw batch again. Epoch files are sized by VOLUME
+        # (r12, guide §6): the build's shuffle parallelism would otherwise
+        # emit ~cores near-empty part files per epoch into a state table
+        # that accumulates forever — thousands of epochs of tiny files is
+        # exactly the small-files listing/open tax the stored-index read
+        # side pays on every later batch. coalesce (not repartition) —
+        # it only narrows the cache→write stage, the computation is
+        # already cached; the count is a cache-hit job. The pairs write
+        # keeps its AQE-coalesced layout (its plan ends at an exchange,
+        # which AQE already sizes; a coalesce would propagate up and
+        # serialize the band join itself).
+        n_new = new_base.count()
+        _overwrite_epoch(
+            new_base.coalesce(layout_partitions(n_new, _BASE_ROW_BYTES)),
+            batch_id, base_path,
+        )
+        _overwrite_epoch(
+            new_banded.coalesce(
+                layout_partitions(n_new * n_bands, _BANDED_ROW_BYTES)
+            ),
+            batch_id, banded_path,
+        )
 
     reader = spark.readStream.schema("doc_id long, text string")
     if max_files_per_trigger is not None:

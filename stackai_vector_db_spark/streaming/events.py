@@ -157,7 +157,10 @@ def incremental_index_stream(
     pipeline needs. Without it each availableNow run reprocesses the full
     directory (fine for one-shot jobs/tests only).
     """
-    from stackai_vector_db_spark.operators.ivf import assign_clusters
+    from stackai_vector_db_spark.operators.ivf import (
+        assign_clusters,
+        local_centroids_df,
+    )
 
     cents = centroids.collect()
     cents_local = [(r["cluster_id"], r["centroid"]) for r in cents]
@@ -166,9 +169,11 @@ def incremental_index_stream(
         if batch_df.isEmpty():
             return
         spark_b = batch_df.sparkSession
-        cdf = spark_b.createDataFrame(
-            cents_local, "cluster_id int, centroid array<double>"
-        )
+        # VALUES LocalRelation, not createDataFrame (r12): the pickled-rows
+        # ExistingRDD form ran a Python-worker broadcast job per micro-batch
+        # — the same per-call cost r11 removed from the serving paths, paid
+        # here on every epoch of a forever-running stream.
+        cdf = local_centroids_df(spark_b, cents_local)
         assigned = assign_clusters(batch_df, cdf)
         (
             batch_df.join(assigned.select("vec_id", "cluster_id"), "vec_id")
