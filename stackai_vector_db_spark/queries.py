@@ -3974,28 +3974,8 @@ def q_filter_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   positions 37-50: §2-core + flagship insurance (r10-green, cheap rows).
 #   past 50: r10-green ids that can wait a round; rotate back in r12.
 SWEEP_ORDER = [
-    # --- 1-33: latest driver row is r9 — refresh first (r11 rotation) ---
-    "q_tpch_q3", "q_tpch_q5", "q_join_smj", "q_join_broadcast",
-    "q_agg_rollup", "q_agg_cube", "q_count_distinct",
-    "q_events_tumbling", "q_events_session",
-    "q_corpus_pipeline", "q_curation_e2e",
-    "q_text_stats", "q_token_count", "q_lang_id", "q_fingerprint",
-    "q_top_terms", "q_percentile", "q_json_extract",
-    "q_window_frame", "q_window_lag",
-    "q_shard_pack", "q_pii_scrub", "q_dedup_near", "q_simhash",
-    "q_ingest_validate", "q_union_libraries", "q_filter_tags",
-    "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
-    "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
-    # --- 34-36: oracle assembly changed in r11 (shared Knuth-hash SQL
-    #     fragments) — one consecutive-round confirmation row each ---
-    "q_sample_hash", "q_stratified_sample", "q_domain_mix",
-    # --- 37-50: §2-core + flagship insurance (r10-green, cheap rows) ---
-    "q_knn_brute_topk", "q_knn_window_rank", "q_embed_knn_e2e",
-    "q_scan_project", "q_point_lookup", "q_filter_fk",
-    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
-    "q_dedup_minhash_lsh", "q_dedup_components", "q_span_dedup",
-    "q_ivf_pq_topk", "q_dedup_canonical",
-    # --- past 50: r10-green, next row in r12's rotation ---
+    # --- 1-33: latest driver row is r10 — refresh first (r12 rotation;
+    #     r11 brief #7: the freshness obligation alternates cohorts) ---
     "q_pq_adc_topk", "q_pq_refine_topk", "q_ivf_pq_residual_topk",
     "q_ann_lsh_topk", "q_ivf_probe_topk", "q_assign_centroid",
     "q_events_sliding", "q_events_dedup",
@@ -4008,6 +3988,31 @@ SWEEP_ORDER = [
     "q_repetition_stats", "q_span_dedup_incremental",
     "q_knn_graph", "q_dedup_incremental", "q_dedup_embed_incremental",
     "q_approx_distinct", "q_kmeans_build", "q_quality_score",
+    # --- 34-50: full headline coverage (every benched query gets an r12
+    #     row in the round its timings land) + §2-core insurance;
+    #     all r11-green, cheap rows ---
+    "q_knn_brute_topk", "q_knn_window_rank", "q_embed_knn_e2e",
+    "q_ivf_pq_topk", "q_join_smj", "q_agg_rollup",
+    "q_dedup_minhash_lsh", "q_events_session", "q_window_frame",
+    "q_corpus_pipeline",
+    "q_scan_project", "q_point_lookup",
+    "q_fn_euclidean", "q_fn_cosine", "q_dedup_exact",
+    "q_dedup_canonical", "q_span_dedup",
+    # --- past 50: r11-green (verified in the r11 sweep), next row in a
+    #     future rotation ---
+    "q_tpch_q3", "q_tpch_q5", "q_join_broadcast",
+    "q_agg_cube", "q_count_distinct",
+    "q_events_tumbling",
+    "q_curation_e2e",
+    "q_text_stats", "q_token_count", "q_lang_id", "q_fingerprint",
+    "q_top_terms", "q_percentile", "q_json_extract",
+    "q_window_lag",
+    "q_shard_pack", "q_pii_scrub", "q_dedup_near", "q_simhash",
+    "q_ingest_validate", "q_union_libraries", "q_filter_tags",
+    "q_filter_ci_name", "q_semi_exists", "q_filter_missing_emb",
+    "q_threshold_filter", "q_anti_tombstone", "q_cascade_anti",
+    "q_sample_hash", "q_stratified_sample", "q_domain_mix",
+    "q_filter_fk", "q_dedup_components",
 ]
 
 
