@@ -359,6 +359,45 @@ def probe_clusters_arrow(
     )
 
 
+def _local_query_side(queries: DataFrame, qrows, qid_col: str, qvec_col: str):
+    """The collected query rows as a LocalRelation mirroring ``queries``'
+    exact column dtypes, or ``None`` when the literal form cannot be exact
+    (non-finite components, or dtypes outside {int,bigint} ×
+    {array<float>, array<double>}).
+
+    Used by :func:`ivf_search`'s driver-side-probe branch (r12): the
+    scoring join broadcasts the query side, and with the caller's
+    DataFrame as build side that broadcast re-scans the query relation
+    and runs one broadcast-exchange job per search call — on rows the
+    search already collected for probe selection. A LocalRelation build
+    side broadcasts driver-side with no job and drops the second scan
+    from the plan. Values are bit-identical (repr round-trip + cast, same
+    contract as knn.local_queries_df)."""
+    import math
+
+    from stackai_vector_db_spark.operators.knn import local_queries_df
+
+    dts = dict(queries.dtypes)
+    qid_t, qvec_t = dts.get(qid_col), dts.get(qvec_col)
+    if qid_t not in ("int", "bigint") or qvec_t not in (
+        "array<float>",
+        "array<double>",
+    ):
+        return None
+    if not qrows or not all(
+        math.isfinite(float(x)) for r in qrows for x in r[1]
+    ):
+        return None
+    return local_queries_df(
+        queries.sparkSession,
+        [(r[0], r[1]) for r in qrows],
+        qid_col,
+        qvec_col,
+        qid_type="long" if qid_t == "bigint" else qid_t,
+        vec_type=qvec_t[len("array<"):-1],
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     assigned_vectors: DataFrame,
@@ -403,6 +442,16 @@ def ivf_search(
                 assigned_vectors.sparkSession, qrows, centroids,
                 centroid_rows, nprobe, metric,
             )
+            # The scoring join's build side from the SAME collected rows
+            # (r12): broadcast(queries) otherwise re-scans the query
+            # relation and runs a broadcast-exchange job per search call.
+            # Only when the literal form is exact — finite values and a
+            # dtype whose repr round-trips (float32 source → double repr →
+            # cast float is bit-identical; double stays double); any other
+            # shape keeps the caller's DataFrame.
+            local_q = _local_query_side(queries, qrows, qid_col, qvec_col)
+            if local_q is not None:
+                queries = local_q
     else:
         probes = probe_clusters(queries, centroids, nprobe, metric, qid_col, qvec_col)
     # Per-query candidate set: vectors in probed clusters only.

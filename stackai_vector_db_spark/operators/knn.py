@@ -100,30 +100,37 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
-def local_queries_df(spark, qpairs, qid_col: str = "qid", qvec_col: str = "qvec"):
-    """A bounded query set as a (qid long, qvec array<float>) LocalRelation.
+def local_queries_df(spark, qpairs, qid_col: str = "qid", qvec_col: str = "qvec",
+                     qid_type: str = "long", vec_type: str = "float"):
+    """A bounded query set as a (qid <qid_type>, qvec array<vec_type>)
+    LocalRelation.
 
     Built via a ``VALUES`` literal rather than ``spark.createDataFrame``:
     the latter yields a pickled-rows ``Scan ExistingRDD`` whose broadcast
     (e.g. the re-rank hydration join) runs a Spark job through a Python
     worker per query call; a LocalRelation broadcast is assembled on the
     driver with no job (r11 optimization round). Float literals use
-    ``repr`` (shortest exact roundtrip) and are cast double→float, exact
-    for float32-sourced values; any non-finite component falls back to
-    ``createDataFrame`` since SQL float literals cannot spell inf/nan.
-    """
+    ``repr`` (shortest exact roundtrip): exact for double, and exact for
+    float32-sourced values under the double→float cast; any non-finite
+    component falls back to ``createDataFrame`` since SQL float literals
+    cannot spell inf/nan. ``qid_type``/``vec_type`` let a caller mirror
+    its source dtypes exactly (r12 — the ivf scoring join reuses this)."""
     import math
 
     pairs = [(int(q), [float(x) for x in v]) for q, v in qpairs]
     if pairs and all(math.isfinite(x) for _, v in pairs for x in v):
         vals = ", ".join(
-            "(%d, CAST(array(%s) AS array<float>))"
-            % (q, ",".join(repr(x) for x in v))
+            "(%d, CAST(array(%s) AS array<%s>))"
+            % (q, ",".join(repr(x) for x in v), vec_type)
             for q, v in pairs
         )
-        df = spark.sql(f"SELECT CAST(col1 AS long) q, col2 v FROM VALUES {vals}")
+        df = spark.sql(
+            f"SELECT CAST(col1 AS {qid_type}) q, col2 v FROM VALUES {vals}"
+        )
         return df.select(F.col("q").alias(qid_col), F.col("v").alias(qvec_col))
-    return spark.createDataFrame(pairs, f"{qid_col} long, {qvec_col} array<float>")
+    return spark.createDataFrame(
+        pairs, f"{qid_col} {qid_type}, {qvec_col} array<{vec_type}>"
+    )
 
 
 def rerank_exact(

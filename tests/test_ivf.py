@@ -385,3 +385,43 @@ def test_local_probe_budget_falls_back_to_declarative(spark, monkeypatch):
     assert not called  # guard actually took the declarative branch
     assert got == want
     _ = operators  # imported for namespace symmetry with other tests
+
+
+def test_local_query_side_mirrors_source_exactly(spark):
+    """_local_query_side (r12 — the ivf scoring join's LocalRelation build
+    side) must reproduce the collected query rows bit-exactly with the
+    source dtypes, plan as a LocalTableScan (no second scan of the query
+    relation), and refuse any shape whose literal form cannot be exact."""
+    from stackai_vector_db_spark.operators.ivf import _local_query_side
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qrows = q.collect()
+    local = _local_query_side(q, qrows, "qid", "qvec")
+    assert local is not None
+    assert dict(local.dtypes) == dict(q.dtypes)  # array<float> preserved
+    assert "LocalTableScan" in local._jdf.queryExecution().executedPlan().toString()
+    want = sorted((r[0], list(r[1])) for r in qrows)
+    got = sorted((r[0], list(r[1])) for r in local.collect())
+    assert got == want  # bit-exact float32 round-trip
+
+    # array<double> source: repr round-trips doubles exactly too.
+    qd = q.select("qid", F.col("qvec").cast("array<double>").alias("qvec"))
+    qd_rows = qd.collect()
+    local_d = _local_query_side(qd, qd_rows, "qid", "qvec")
+    assert local_d is not None
+    assert dict(local_d.dtypes)["qvec"] == "array<double>"
+    assert sorted((r[0], list(r[1])) for r in local_d.collect()) == sorted(
+        (r[0], list(r[1])) for r in qd_rows
+    )
+
+    # Refusals: non-finite component; unsupported vector dtype; empty set.
+    import math
+
+    bad = [(0, [1.0, math.inf])]
+    assert _local_query_side(qd, bad, "qid", "qvec") is None
+    qs = q.select("qid", F.col("qvec").cast("array<string>").alias("qvec"))
+    assert _local_query_side(qs, qrows, "qid", "qvec") is None
+    assert _local_query_side(q, [], "qid", "qvec") is None
